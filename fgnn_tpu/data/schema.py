@@ -1,0 +1,65 @@
+"""Dataset schema.
+
+TPU-native analog of ``struct Dataset`` (reference common.h:157-184): a CSR
+graph with features/labels/splits plus optional weighted-sampling tables and
+cache rankings. Host-side arrays are NumPy (possibly mmap-backed, read-only);
+device residency is decided later by the engine (arch-dependent placement,
+cuda_engine.cc:338-377 analog) via ``device_graph()``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Dataset:
+    name: str
+    num_node: int
+    num_edge: int
+    num_class: int
+
+    # graph topology: CSR over int32 ids (reference IdType=uint32, common.h:35;
+    # we use int32 — TPU-friendly, EMPTY_KEY=-1 sentinel).
+    indptr: np.ndarray       # [num_node + 1] int
+    indices: np.ndarray      # [num_edge] int32
+
+    # features / labels
+    feat: np.ndarray         # [num_node, feat_dim] float32 (mmap ok)
+    label: np.ndarray        # [num_node] int
+
+    # splits
+    train_set: np.ndarray    # int32 node ids
+    test_set: np.ndarray
+    valid_set: np.ndarray
+
+    # weighted-sampling tables (optional; common.h:170-174)
+    prob_table: Optional[np.ndarray] = None          # [num_edge] f32
+    alias_table: Optional[np.ndarray] = None         # [num_edge] i32
+    prob_prefix_table: Optional[np.ndarray] = None   # [num_edge] f32
+
+    # degrees + cache rankings (optional)
+    in_degrees: Optional[np.ndarray] = None
+    out_degrees: Optional[np.ndarray] = None
+    ranking_nodes: Optional[np.ndarray] = None       # cache rank (set by policy)
+
+    @property
+    def feat_dim(self) -> int:
+        return int(self.feat.shape[1])
+
+    def degrees(self) -> np.ndarray:
+        """Out-degree from indptr (the sampling-relevant degree)."""
+        if self.out_degrees is not None:
+            return self.out_degrees
+        return np.diff(self.indptr).astype(np.int32)
+
+    def validate(self) -> None:
+        assert self.indptr.shape[0] == self.num_node + 1
+        assert self.indices.shape[0] == self.num_edge
+        assert int(self.indptr[0]) == 0
+        assert int(self.indptr[-1]) == self.num_edge
+        if self.num_edge:
+            assert int(self.indices.max()) < self.num_node
+        assert self.feat.shape[0] >= self.num_node or self.feat.shape[0] > 0

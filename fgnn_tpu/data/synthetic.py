@@ -1,0 +1,137 @@
+"""Synthetic power-law graph generator + dataset writer.
+
+Fills the role of the reference's ``datagen/`` + ``utility/data-process``
+toolchain for tests and benches when OGB data is unavailable: generates a
+skewed-degree CSR graph and can write it in the reference's binary layout
+(meta.txt + .bin, datagen/README.md:30-47) so the mmap loader round-trips.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import constants
+from .schema import Dataset
+
+
+def make_synthetic_dataset(
+    num_node: int = 10_000,
+    avg_degree: int = 15,
+    feat_dim: int = 64,
+    num_class: int = 16,
+    train_frac: float = 0.1,
+    seed: int = 0,
+    power: float = 1.5,
+    name: str = "synthetic",
+) -> Dataset:
+    """Zipf-ish degree distribution so cache policies have hot vertices."""
+    rng = np.random.default_rng(seed)
+    # degree ~ bounded pareto, mean scaled to avg_degree
+    raw = rng.pareto(power, size=num_node) + 1.0
+    deg = np.minimum(raw / raw.mean() * avg_degree, num_node - 1).astype(np.int64)
+    deg = np.maximum(deg, 1)
+    indptr = np.zeros(num_node + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    num_edge = int(indptr[-1])
+    # preferential-ish attachment: bias neighbor choice toward low ids, then
+    # permute ids so hot vertices are scattered
+    u = rng.random(num_edge)
+    nbr = (u ** 2.0 * num_node).astype(np.int64)  # skew toward small
+    perm = rng.permutation(num_node)
+    indices = perm[np.minimum(nbr, num_node - 1)].astype(np.int32)
+
+    feat = rng.standard_normal((num_node, feat_dim), dtype=np.float32)
+    label = rng.integers(0, num_class, size=num_node, dtype=np.int32)
+
+    ids = rng.permutation(num_node).astype(np.int32)
+    n_train = max(1, int(num_node * train_frac))
+    n_test = max(1, int(num_node * 0.05))
+    n_valid = max(1, int(num_node * 0.05))
+
+    ds = Dataset(
+        name=name,
+        num_node=num_node,
+        num_edge=num_edge,
+        num_class=num_class,
+        indptr=indptr,
+        indices=indices,
+        feat=feat,
+        label=label,
+        train_set=ids[:n_train].copy(),
+        test_set=ids[n_train : n_train + n_test].copy(),
+        valid_set=ids[n_train + n_test : n_train + n_test + n_valid].copy(),
+    )
+    ds.validate()
+    return ds
+
+
+def build_alias_tables(ds: Dataset, seed: int = 0) -> None:
+    """Build per-vertex alias tables over edge weights for weighted sampling
+    (utility/data-process/toolkit/weight/create_alias_table.cc analog).
+
+    Edge weights default to uniform-random so weighted sampling is
+    distinguishable from uniform in tests. Tables are laid out per edge slot
+    like the reference (Dataset::prob_table/alias_table, common.h:170-172):
+    to draw a neighbor of v, pick slot j ~ U[0,deg), accept indices[off+j]
+    with prob prob_table[off+j], else take indices[off + alias_table[off+j]].
+    """
+    rng = np.random.default_rng(seed)
+    weights = rng.random(ds.num_edge).astype(np.float64) + 0.1
+    prob = np.zeros(ds.num_edge, dtype=np.float32)
+    alias = np.zeros(ds.num_edge, dtype=np.int32)
+    prefix = np.zeros(ds.num_edge, dtype=np.float32)
+    indptr = ds.indptr
+    for v in range(ds.num_node):
+        off, end = int(indptr[v]), int(indptr[v + 1])
+        d = end - off
+        if d == 0:
+            continue
+        w = weights[off:end]
+        prefix[off:end] = np.cumsum(w)
+        p = w / w.sum() * d  # scaled probs, mean 1
+        small = [j for j in range(d) if p[j] < 1.0]
+        large = [j for j in range(d) if p[j] >= 1.0]
+        pp = p.copy()
+        while small and large:
+            s, l = small.pop(), large.pop()
+            prob[off + s] = pp[s]
+            alias[off + s] = l
+            pp[l] = pp[l] - (1.0 - pp[s])
+            (small if pp[l] < 1.0 else large).append(l)
+        for j in small + large:
+            prob[off + j] = 1.0
+            alias[off + j] = j
+    ds.prob_table = prob
+    ds.alias_table = alias
+    ds.prob_prefix_table = prefix
+
+
+def write_dataset(ds: Dataset, root: str) -> str:
+    """Write in the reference binary layout (datagen/README.md:30-47)."""
+    d = os.path.join(root, ds.name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, constants.META_FILE), "w") as f:
+        f.write(f"{constants.META_NUM_NODE} {ds.num_node}\n")
+        f.write(f"{constants.META_NUM_EDGE} {ds.num_edge}\n")
+        f.write(f"{constants.META_FEAT_DIM} {ds.feat_dim}\n")
+        f.write(f"{constants.META_NUM_CLASS} {ds.num_class}\n")
+        f.write(f"{constants.META_NUM_TRAIN_SET} {len(ds.train_set)}\n")
+        f.write(f"{constants.META_NUM_TEST_SET} {len(ds.test_set)}\n")
+        f.write(f"{constants.META_NUM_VALID_SET} {len(ds.valid_set)}\n")
+
+    def w(fname, arr, dtype):
+        np.ascontiguousarray(arr, dtype=dtype).tofile(os.path.join(d, fname))
+
+    w(constants.INDPTR_FILE, ds.indptr, np.uint32)
+    w(constants.INDICES_FILE, ds.indices.view(np.uint32), np.uint32)
+    w(constants.FEAT_FILE, ds.feat, np.float32)
+    w(constants.LABEL_FILE, ds.label.astype(np.uint64), np.uint64)
+    w(constants.TRAIN_SET_FILE, ds.train_set.view(np.uint32), np.uint32)
+    w(constants.TEST_SET_FILE, ds.test_set.view(np.uint32), np.uint32)
+    w(constants.VALID_SET_FILE, ds.valid_set.view(np.uint32), np.uint32)
+    if ds.prob_table is not None:
+        w(constants.PROB_TABLE_FILE, ds.prob_table, np.float32)
+        w(constants.ALIAS_TABLE_FILE, ds.alias_table.view(np.uint32), np.uint32)
+        w(constants.PROB_PREFIX_TABLE_FILE, ds.prob_prefix_table, np.float32)
+    return d

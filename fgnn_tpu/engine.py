@@ -1,0 +1,266 @@
+"""Single-chip engine (arch1 analog).
+
+Reference: GPUEngine (samgraph/common/cuda/cuda_engine.cc) running arch1 —
+sample, extract and train all on one accelerator. The TPU-native twist: when
+features are HBM-resident the whole sample->extract->train pipeline is ONE
+jitted function (no host round trips, XLA overlaps everything); only for
+host-resident features (papers100M-scale) does the step split into
+sample_jit -> host gather -> train_jit, the arch2/3 shape.
+
+Multi-chip factored/SGNN engines live in fgnn_tpu.parallel.factored.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .config import RunConfig, SampleType
+from .data.schema import Dataset
+from .models import build_model
+from .ops.extract import device_gather, host_gather, label_gather
+from .ops.padding import SamplePlan, make_plan
+from .ops.reference_impl import calibrate_caps
+from .ops.sampling import CSRGraph, SampledBatch, multi_layer_sample
+from .ops.random_walk import random_walk_topk
+from .parallel.shuffler import EpochShuffler
+from .train.loop import TrainState, create_train_state, make_train_step, make_eval_step
+from .utils import Timer, get_logger
+from .utils.profiler import Profiler
+
+log = get_logger(__name__)
+
+# Features stay in HBM when they fit in this budget (v5e has 16GB; leave
+# room for activations + params + graph).
+DEFAULT_FEAT_HBM_BUDGET = 6 << 30
+
+
+class OneChipEngine:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        ds: Dataset,
+        feat_hbm_budget: int = DEFAULT_FEAT_HBM_BUDGET,
+    ):
+        cfg.validate()
+        self.cfg = cfg
+        self.ds = ds
+        prof = Profiler.get()
+        t = Timer()
+
+        # --- topology to device (SampleDataCopy analog) -------------------
+        indptr = np.asarray(ds.indptr)
+        ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
+        self.graph = CSRGraph(
+            indptr=jnp.asarray(indptr.astype(ptr_dtype)),
+            indices=jnp.asarray(np.asarray(ds.indices)),
+            prob_table=(
+                jnp.asarray(np.asarray(ds.prob_table))
+                if ds.prob_table is not None
+                and cfg.sample_type in (SampleType.WEIGHTED_KHOP,
+                                        SampleType.WEIGHTED_KHOP_HASH_DEDUP)
+                else None
+            ),
+            alias_table=(
+                jnp.asarray(np.asarray(ds.alias_table))
+                if ds.alias_table is not None
+                and cfg.sample_type in (SampleType.WEIGHTED_KHOP,
+                                        SampleType.WEIGHTED_KHOP_HASH_DEDUP)
+                else None
+            ),
+            prob_prefix_table=(
+                jnp.asarray(np.asarray(ds.prob_prefix_table))
+                if ds.prob_prefix_table is not None
+                and cfg.sample_type == SampleType.WEIGHTED_KHOP_PREFIX
+                else None
+            ),
+        )
+
+        # --- static plan via NumPy calibration ----------------------------
+        if cfg.sample_type == SampleType.RANDOM_WALK:
+            fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
+        else:
+            fan_sampling = list(reversed(cfg.fanout))
+        caps = calibrate_caps(
+            indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
+            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            replace=(cfg.sample_type == SampleType.KHOP1),
+        )
+        self.plan = make_plan(
+            cfg.batch_size,
+            list(reversed(fan_sampling)),   # make_plan reverses again
+            ds.num_node,
+            unique_caps=caps,
+        )
+        log.info("sample plan: %s", self.plan)
+
+        # --- feature placement -------------------------------------------
+        feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * 4
+        self.feat_on_device = feat_bytes <= feat_hbm_budget
+        if self.feat_on_device:
+            self.feat_dev = jnp.asarray(np.asarray(ds.feat))
+        else:
+            self.feat_dev = None
+        self.label_dev = jnp.asarray(np.asarray(ds.label))
+
+        # --- shuffler ------------------------------------------------------
+        self.shuffler = EpochShuffler(
+            ds.train_set, cfg.batch_size, self.plan.num_input_cap[0],
+            base_seed=cfg.seed,
+        )
+        prof.set_num_step(self.shuffler.num_step)
+
+        # --- model ---------------------------------------------------------
+        self.dst_caps = tuple(reversed(self.plan.num_input_cap))
+        self.model = build_model(
+            cfg.model, ds.feat_dim, cfg.num_hidden, ds.num_class,
+            self.plan.num_layer, cfg.dropout,
+        )
+        self._build_fns()
+        prof.log_init("init_other", t.passed())
+
+    # ------------------------------------------------------------------
+    def _sample(self, key, seeds, num_seeds) -> SampledBatch:
+        cfg = self.cfg
+        if cfg.sample_type == SampleType.RANDOM_WALK:
+            return random_walk_topk(
+                key, self.graph, seeds, num_seeds, self.plan,
+                num_random_walk=cfg.num_random_walk,
+                random_walk_length=cfg.random_walk_length,
+                restart_prob=cfg.random_walk_restart_prob,
+            )
+        return multi_layer_sample(
+            key, self.graph, seeds, num_seeds, self.plan, cfg.sample_type
+        )
+
+    def _build_fns(self):
+        cfg = self.cfg
+        plan = self.plan
+
+        def sample_only(key, seeds, num_seeds):
+            return self._sample(key, seeds, num_seeds)
+
+        self.sample_jit = jax.jit(sample_only)
+
+        # init model params with one (cheap, any-key) sample
+        seeds0, n0, _ = next(self.shuffler.batches(0))
+        batch0 = self.sample_jit(
+            jax.random.key(cfg.seed), jnp.asarray(seeds0), jnp.int32(n0)
+        )
+        if self.feat_on_device:
+            feats0 = device_gather(self.feat_dev, batch0.input_nodes)
+        else:
+            feats0 = jnp.asarray(
+                host_gather(self.ds.feat, np.asarray(batch0.input_nodes))
+            )
+        self.state, self.tx = create_train_state(
+            self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
+            self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
+        )
+        train_step = make_train_step(self.model, self.tx, self.dst_caps,
+                                     cfg.batch_size)
+        self.eval_step = jax.jit(
+            make_eval_step(self.model, self.dst_caps, cfg.batch_size)
+        )
+
+        if self.feat_on_device:
+            def fused_step(state, key, seeds, num_seeds):
+                batch = self._sample(key, seeds, num_seeds)
+                feats = device_gather(self.feat_dev, batch.input_nodes)
+                labels = label_gather(self.label_dev, batch.output_nodes)
+                k_drop = jax.random.fold_in(key, 0x5eed)
+                new_state, loss, acc = train_step(
+                    state, batch, feats, labels, k_drop
+                )
+                return new_state, loss, acc, batch.num_input, batch.overflowed
+
+            self.fused_step = jax.jit(fused_step, donate_argnums=(0,))
+            self.train_jit = None
+        else:
+            def train_only(state, key, batch, feats):
+                labels = label_gather(self.label_dev, batch.output_nodes)
+                k_drop = jax.random.fold_in(key, 0x5eed)
+                new_state, loss, acc = train_step(state, batch, feats, labels, k_drop)
+                return new_state, loss, acc
+
+            self.train_jit = jax.jit(train_only, donate_argnums=(0,))
+            self.fused_step = None
+
+    # ------------------------------------------------------------------
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        prof = Profiler.get()
+        prof.begin_node_access_epoch()
+        t_epoch = Timer()
+        losses, accs = [], []
+        num_inputs = []
+        base = jax.random.key(cfg.seed)
+        for seeds, n, step in self.shuffler.batches(epoch):
+            key = jax.random.fold_in(base, epoch * self.shuffler.num_step + step)
+            skey = prof.step_key(epoch, step)
+            if self.fused_step is not None:
+                t = Timer()
+                self.state, loss, acc, n_in, ovf = self.fused_step(
+                    self.state, key, jnp.asarray(seeds), jnp.int32(n)
+                )
+                losses.append(loss)
+                accs.append(acc)
+                num_inputs.append(n_in)
+                prof.log_step(skey, "L1_train_time", t.passed())
+            else:
+                t = Timer()
+                batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                in_nodes = np.asarray(batch.input_nodes)
+                prof.log_step(skey, "L1_sample_time", t.passed())
+                t.reset()
+                feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
+                prof.log_step(skey, "L1_copy_time", t.passed())
+                prof.log_step(
+                    skey, "L1_feature_bytes",
+                    float(feats.size * feats.dtype.itemsize),
+                )
+                t.reset()
+                self.state, loss, acc = self.train_jit(
+                    self.state, key, batch, feats
+                )
+                losses.append(loss)
+                accs.append(acc)
+                prof.log_step(skey, "L1_train_time", t.passed())
+                if prof.log_node_access:
+                    prof.log_node_access_batch(in_nodes)
+        # one device sync at epoch end — losses force completion
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        epoch_time = t_epoch.passed()
+        prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.shuffler.num_step,
+        }
+
+    def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:
+        """Accuracy over test set (train_accuracy.py analog)."""
+        cfg = self.cfg
+        nodes = np.asarray(node_set if node_set is not None else self.ds.test_set)
+        accs = []
+        base = jax.random.key(cfg.seed + 12345)
+        sh = EpochShuffler(nodes, cfg.batch_size, self.plan.num_input_cap[0])
+        for seeds, n, step in sh.batches(0):
+            key = jax.random.fold_in(base, step)
+            batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+            if self.feat_on_device:
+                feats = device_gather(self.feat_dev, batch.input_nodes)
+            else:
+                feats = jnp.asarray(
+                    host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+                )
+            labels = label_gather(self.label_dev, batch.output_nodes)
+            accs.append(float(self.eval_step(self.state.params, batch, feats, labels)))
+        return float(np.mean(accs)) if accs else 0.0

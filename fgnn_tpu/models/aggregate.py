@@ -1,0 +1,96 @@
+"""Mask-aware message-passing primitives over padded COO blocks.
+
+These replace DGL's ``update_all(fn.u_mul_e/copy_u, fn.sum/mean)`` message
+passing used by the reference models (example/samgraph/multi_gpu/train_*.py)
+with `jax.ops.segment_sum`-based aggregation, which XLA lowers to efficient
+sorted-scatter on TPU. Padded edges scatter into a trash row that is sliced
+off, so no branching on dynamic edge counts is needed.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import Block
+
+
+def gather_src(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
+    """Per-edge source features [E_cap, D]; padded edges read row 0 (junk,
+    masked later)."""
+    idx = jnp.maximum(block.src_local, 0)
+    return jnp.take(h_src, idx, axis=0)
+
+
+def segment_agg(
+    messages: jnp.ndarray,
+    block: Block,
+    dst_cap: int,
+    *,
+    mode: str = "sum",
+    edge_weights: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Aggregate per-edge messages into destination rows.
+
+    Args:
+      messages: [E_cap, D] per-edge payload (already gathered from src).
+      mode: 'sum' | 'mean' | 'weighted_mean'.
+    Returns: [dst_cap, D].
+    """
+    mask = block.mask
+    dst = jnp.where(mask, block.dst_local, dst_cap)  # trash row = dst_cap
+    w = None
+    if mode == "weighted_mean":
+        assert edge_weights is not None
+        w = jnp.where(mask, edge_weights, 0.0)
+        messages = messages * w[:, None]
+    else:
+        messages = jnp.where(mask[:, None], messages, 0.0)
+
+    agg = jax.ops.segment_sum(messages, dst, num_segments=dst_cap + 1)[:dst_cap]
+
+    if mode == "mean":
+        cnt = jax.ops.segment_sum(
+            mask.astype(messages.dtype), dst, num_segments=dst_cap + 1
+        )[:dst_cap]
+        agg = agg / jnp.maximum(cnt, 1.0)[:, None]
+    elif mode == "weighted_mean":
+        ws = jax.ops.segment_sum(w, dst, num_segments=dst_cap + 1)[:dst_cap]
+        agg = agg / jnp.maximum(ws, 1.0)[:, None]
+    return agg
+
+
+def segment_softmax(
+    scores: jnp.ndarray, block: Block, dst_cap: int
+) -> jnp.ndarray:
+    """Edge-softmax over incoming edges of each dst (GAT attention).
+
+    scores: [E_cap, H]; returns normalized [E_cap, H] (0 on padded edges).
+    """
+    mask = block.mask
+    dst = jnp.where(mask, block.dst_local, dst_cap)
+    neg_inf = jnp.finfo(scores.dtype).min
+    masked = jnp.where(mask[:, None], scores, neg_inf)
+    smax = jax.ops.segment_max(masked, dst, num_segments=dst_cap + 1)
+    smax = jnp.where(smax == neg_inf, 0.0, smax)
+    ex = jnp.exp(masked - smax[dst])
+    ex = jnp.where(mask[:, None], ex, 0.0)
+    denom = jax.ops.segment_sum(ex, dst, num_segments=dst_cap + 1)
+    return ex / jnp.maximum(denom[dst], 1e-16)
+
+
+def in_degrees(block: Block, dst_cap: int) -> jnp.ndarray:
+    mask = block.mask
+    dst = jnp.where(mask, block.dst_local, dst_cap)
+    return jax.ops.segment_sum(
+        mask.astype(jnp.float32), dst, num_segments=dst_cap + 1
+    )[:dst_cap]
+
+
+def out_degrees(block: Block, src_cap: int) -> jnp.ndarray:
+    mask = block.mask
+    src = jnp.where(mask, block.src_local, src_cap)
+    return jax.ops.segment_sum(
+        mask.astype(jnp.float32), src, num_segments=src_cap + 1
+    )[:src_cap]

@@ -1,0 +1,3 @@
+from .padding import SamplePlan, make_plan
+from .hashtable import unique_with_seeds, lookup_local_ids
+from .sampling import sample_layer, multi_layer_sample

@@ -1,0 +1,51 @@
+"""Feature / label extraction.
+
+Analogs of the reference's extraction kernels:
+  * device-resident gather  — cuda_extraction.cu:31-49 (GPUExtract)
+  * mock extract            — cuda_extraction.cu:51-72 (SAMGRAPH_EMPTY_FEAT)
+  * host (CPU) gather       — cpu_extraction.cc (OpenMP gather)
+
+On TPU the interesting split is HBM-resident vs host-resident features; the
+cache manager (fgnn_tpu.cache.manager) composes these into the miss/hit
+merge of DoCacheFeatureCopy.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def device_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """output[i] = table[ids[i]]; padded ids (-1) produce zero rows."""
+    safe = jnp.maximum(ids, 0)
+    out = jnp.take(table, safe, axis=0)
+    return jnp.where((ids >= 0)[:, None], out, 0)
+
+
+def mock_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Empty-feat mode: index modulo fake table size (GPUMockExtract)."""
+    n = table.shape[0]
+    safe = jnp.maximum(ids, 0) % n
+    out = jnp.take(table, safe, axis=0)
+    return jnp.where((ids >= 0)[:, None], out, 0)
+
+
+def host_gather(feat_mmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Host-side gather from the (mmap-backed) feature matrix.
+
+    NumPy fancy indexing releases the GIL for the bulk copy; the native
+    C++ path (fgnn_tpu.native) provides a parallel version for the hot
+    papers100M-scale case.
+    """
+    safe = np.maximum(ids, 0)
+    out = feat_mmap[safe]
+    out[ids < 0] = 0
+    return out
+
+
+def label_gather(labels: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """DoGPULabelExtract analog: labels for the batch seeds; padded -> -1."""
+    safe = jnp.maximum(ids, 0)
+    out = jnp.take(labels, safe)
+    return jnp.where(ids >= 0, out, -1)

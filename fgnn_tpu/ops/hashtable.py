@@ -1,0 +1,121 @@
+"""Dedup + dense renumbering.
+
+TPU-native replacement for the reference's GPU ``OrderedHashTable``
+(/root/reference/samgraph/common/cuda/cuda_hashtable.{cu,h}): instead of an
+open-addressing table with version counters, we use XLA sort/unique — the
+idiomatic (and MXU/VPU-friendly) way to dedup on TPU. Semantics preserved:
+
+* ``FillWithUnique(seeds)`` — seeds get local ids [0, n_seed) in *input
+  order* (cuda_hashtable.cu FillWithUnique), so layer-(l+1) seeds are a
+  prefix of layer-l's source nodes (required for block self-connectivity).
+* ``FillWithDuplicates(neighbors)`` — new nodes are appended after the
+  seeds; we assign appended locals in *sorted global-id order* (any
+  deterministic order is valid — the reference's is kernel-scheduling
+  order, which is not meaningful either).
+
+All buffers are statically sized; padding entries are EMPTY_KEY (-1)
+externally and INT32_MAX internally (so they sort to the end).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _to_sentinel(x: jnp.ndarray) -> jnp.ndarray:
+    """-1 padding -> INT_MAX so padded entries sort last."""
+    return jnp.where(x < 0, INT_MAX, x)
+
+
+def _from_sentinel(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x == INT_MAX, -1, x)
+
+
+def unique_with_seeds(
+    seeds: jnp.ndarray,
+    num_seeds: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    out_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FillWithDuplicates analog.
+
+    Args:
+      seeds: [S] int32, unique ids, -1 padded; locals are their positions.
+      num_seeds: scalar int32, count of real seeds.
+      neighbors: [E] int32 sampled neighbor ids, -1 padded.
+      out_cap: static output capacity (>= S).
+
+    Returns:
+      (unique [out_cap] int32 -1-padded — seeds first (input order), then
+       new nodes in ascending global id; num_unique scalar; overflowed bool
+       scalar — true if new nodes were clipped to capacity.)
+    """
+    S = seeds.shape[0]
+    seeds_s = _to_sentinel(seeds)
+    nbr_s = _to_sentinel(neighbors)
+
+    # Drop neighbors already present among seeds: sort seeds once, then
+    # binary-search each neighbor (SearchO2N analog).
+    order = jnp.argsort(seeds_s)
+    sorted_seeds = seeds_s[order]
+    pos = jnp.searchsorted(sorted_seeds, nbr_s)
+    pos_c = jnp.minimum(pos, S - 1)
+    in_seeds = sorted_seeds[pos_c] == nbr_s
+    cand = jnp.where(in_seeds, INT_MAX, nbr_s)
+
+    new_cap = max(out_cap - S, 1)
+    uniq_new = jnp.unique(cand, size=new_cap, fill_value=INT_MAX)
+    num_new = jnp.sum(uniq_new != INT_MAX).astype(jnp.int32)
+    # Detect clipping: jnp.unique(size=) silently drops the largest values
+    # when there are more uniques than `size`; recount to notice.
+    sorted_cand = jnp.sort(cand)
+    first_occ = jnp.concatenate(
+        [jnp.array([True]), sorted_cand[1:] != sorted_cand[:-1]]
+    )
+    total_distinct = jnp.sum(first_occ & (sorted_cand != INT_MAX)).astype(jnp.int32)
+    overflowed = total_distinct > num_new
+
+    unique = jnp.full((out_cap,), INT_MAX, dtype=jnp.int32)
+    unique = unique.at[:S].set(seeds_s)
+    unique = unique.at[S:].set(uniq_new[: out_cap - S])
+    num_unique = num_seeds + num_new
+    return _from_sentinel(unique), num_unique, overflowed
+
+
+def lookup_local_ids(
+    unique: jnp.ndarray,
+    num_seeds_static: int,
+    queries: jnp.ndarray,
+) -> jnp.ndarray:
+    """SearchO2N / GPUMapEdges analog: map global ids -> local dense ids.
+
+    ``unique`` must be laid out as produced by :func:`unique_with_seeds`
+    (seeds occupying [0, num_seeds_static) in arbitrary order, the rest
+    ascending). Queries not present map to -1 (padding queries of -1 too).
+    """
+    S = num_seeds_static
+    seeds_s = _to_sentinel(unique[:S])
+    rest = _to_sentinel(unique[S:])
+    q = _to_sentinel(queries)
+
+    # seeds: sorted copy + original positions
+    order = jnp.argsort(seeds_s)
+    sorted_seeds = seeds_s[order]
+    p = jnp.searchsorted(sorted_seeds, q)
+    p_c = jnp.minimum(p, S - 1)
+    hit_seed = sorted_seeds[p_c] == q
+    local_seed = order[p_c].astype(jnp.int32)
+
+    # appended region is ascending already
+    p2 = jnp.searchsorted(rest, q)
+    p2_c = jnp.minimum(p2, rest.shape[0] - 1)
+    hit_rest = rest[p2_c] == q
+    local_rest = (S + p2_c).astype(jnp.int32)
+
+    local = jnp.where(hit_seed, local_seed, jnp.where(hit_rest, local_rest, -1))
+    return jnp.where(q == INT_MAX, -1, local)

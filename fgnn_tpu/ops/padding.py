@@ -1,0 +1,90 @@
+"""Static-shape planning.
+
+XLA requires static shapes; every reference stage instead produces
+data-dependent sizes (num_sample, num_unique, num_miss). This module is the
+TPU answer: the analog of ``PredictNumNodes`` (reference common.h:244-250)
+computes *padded maxima* per layer once at trace time; all kernels then work
+on fixed-size buffers with ``-1`` (EMPTY_KEY) padding masks.
+
+Worst-case caps explode multiplicatively with fanout, so like the
+reference's 1.25x workspace scale (constant.h:78) we support an optional
+measured `scale` to cap buffers near observed unique counts; overflow is
+detected at runtime (sampler reports a clipped flag) rather than crashing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+from .. import constants
+
+
+def _round_up(x: int, m: int = 128) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplePlan:
+    """Per-layer static buffer sizes for one mini-batch sample.
+
+    Layer order is sampling order: layer 0 seeds are the training batch,
+    hop l uses ``fanouts[l]`` (the reference iterates fanouts deepest-first,
+    cuda_loops.cc:87-257; we store them already in sampling order).
+    """
+
+    batch_size: int
+    fanouts: Tuple[int, ...]           # in sampling order (seed hop first)
+    num_input_cap: Tuple[int, ...]     # cap on input (seed) count per hop
+    num_edge_cap: Tuple[int, ...]      # cap on sampled edges per hop
+    num_unique_cap: Tuple[int, ...]    # cap on unique output per hop
+
+    @property
+    def num_layer(self) -> int:
+        return len(self.fanouts)
+
+    @property
+    def final_input_cap(self) -> int:
+        """Cap on |input_nodes| of the whole batch (feature-gather size)."""
+        return self.num_unique_cap[-1]
+
+
+def make_plan(
+    batch_size: int,
+    fanouts: Sequence[int],
+    num_node: int,
+    scale: float = constants.ALLOC_SCALE,
+    unique_caps: Optional[Sequence[int]] = None,
+) -> SamplePlan:
+    """Compute padded sizes.
+
+    ``fanouts`` is given in config order (reference passes [5,10,15] and
+    samples with 15 first, cuda_loops.cc:92); we reverse into sampling
+    order here so plan.fanouts[0] applies to the training batch.
+
+    ``unique_caps`` optionally overrides the worst-case per-hop unique
+    caps with measured values (already in sampling order).
+    """
+    fan = tuple(reversed([int(f) for f in fanouts]))
+    n_in = []
+    n_edge = []
+    n_uniq = []
+    cur = _round_up(batch_size)
+    for l, f in enumerate(fan):
+        cur = min(cur, _round_up(num_node))
+        n_in.append(cur)
+        edges = cur * f
+        n_edge.append(edges)
+        if unique_caps is not None:
+            uniq = _round_up(int(unique_caps[l] * scale))
+        else:
+            uniq = _round_up(cur + edges)      # worst case: all new
+        uniq = min(uniq, _round_up(num_node))
+        n_uniq.append(uniq)
+        cur = uniq
+    return SamplePlan(
+        batch_size=batch_size,
+        fanouts=fan,
+        num_input_cap=tuple(n_in),
+        num_edge_cap=tuple(n_edge),
+        num_unique_cap=tuple(n_uniq),
+    )

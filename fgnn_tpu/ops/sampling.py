@@ -1,0 +1,299 @@
+"""Neighborhood sampling — jittable, static-shape.
+
+TPU-native replacement for the reference's CUDA sampling kernels
+(/root/reference/samgraph/common/cuda/cuda_sampling_*.cu). Key design
+differences from the CUDA code, per the TPU execution model:
+
+* Static shapes: each hop emits exactly ``num_input_cap * fanout`` edge
+  slots, padded with -1 (EMPTY_KEY) — the CUDA kernels' kEmptyKey +
+  count/scan/compact pipeline (cuda_sampling_khop0.cu:92-174) becomes a
+  mask; compaction is unnecessary because downstream ops are mask-aware.
+* Functional RNG: `jax.random` keys folded per (step, layer) replace the
+  persistent curandState array (cuda_random_states.cu). khop2's in-place
+  Fisher-Yates swap of the CSR `indices` (cuda_sampling_khop2.cu:44-91 —
+  which mutates the graph across batches!) is replaced by Floyd's
+  algorithm, which draws the identical uniform-without-replacement
+  distribution with no mutation.
+* khop0 (reservoir, cuda_sampling_khop0.cu:42-90) and khop2 both sample
+  uniformly *without* replacement — one implementation serves both.
+  khop1 (cuda_sampling_khop1.cu:42-72) samples *with* replacement.
+
+Weighted variants use the dataset's per-edge alias tables / prefix-sum
+tables exactly like cuda_sampling_weighted_khop{,_prefix}.cu.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SampleType
+from .hashtable import unique_with_seeds, lookup_local_ids
+from .padding import SamplePlan
+
+
+@struct.dataclass
+class CSRGraph:
+    """Device-resident CSR topology (Dataset topology subset)."""
+
+    indptr: jnp.ndarray   # [N+1] int32/int64
+    indices: jnp.ndarray  # [E] int32
+    prob_table: Optional[jnp.ndarray] = None         # [E] f32 (alias method)
+    alias_table: Optional[jnp.ndarray] = None        # [E] i32
+    prob_prefix_table: Optional[jnp.ndarray] = None  # [E] f32
+
+    @property
+    def num_node(self) -> int:
+        return self.indptr.shape[0] - 1
+
+
+@struct.dataclass
+class Block:
+    """One sampled bipartite layer (TrainGraph analog, common.h:186-196).
+
+    Edges point neighbor(src) -> seed(dst); dst-local ids are a prefix of
+    the src-local id space (seeds-first invariant of the hashtable).
+    """
+
+    src_local: jnp.ndarray   # [E_cap] int32, -1 padded
+    dst_local: jnp.ndarray   # [E_cap] int32, -1 padded
+    mask: jnp.ndarray        # [E_cap] bool
+    num_src: jnp.ndarray     # scalar int32 (real count)
+    num_dst: jnp.ndarray     # scalar int32
+    weights: Optional[jnp.ndarray] = None  # [E_cap] f32 (PinSAGE)
+
+    @property
+    def src_cap(self) -> int:
+        return -1  # set via shapes; use shape accessors below
+
+    @property
+    def num_edge_cap(self) -> int:
+        return self.src_local.shape[0]
+
+
+@struct.dataclass
+class SampledBatch:
+    """Task analog (common.h:205-225): one mini-batch's sampled graph.
+
+    ``blocks[0]`` is the input-side (deepest) layer, matching the DGL block
+    order the reference's models consume (torch/adapter.py:99-118).
+    """
+
+    blocks: Tuple[Block, ...]
+    input_nodes: jnp.ndarray    # [final_cap] int32 global ids, -1 padded
+    num_input: jnp.ndarray      # scalar int32
+    output_nodes: jnp.ndarray   # [B] int32 global seed ids, -1 padded
+    num_output: jnp.ndarray     # scalar int32
+    overflowed: jnp.ndarray     # scalar bool — any layer clipped its cap
+
+
+# ---------------------------------------------------------------------------
+# per-hop neighbor index selection
+# ---------------------------------------------------------------------------
+
+def _floyd_without_replacement(
+    key: jax.Array, deg: jnp.ndarray, fanout: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Uniform sample of min(deg, fanout) distinct slots from [0, deg).
+
+    Robert Floyd's algorithm, unrolled over the (static, small) fanout:
+    for j in [0, f): J = deg-f+j; draw t ~ U[0, J]; pick t unless already
+    picked, else pick J. Equivalent in distribution to the reference's
+    reservoir (khop0) and Fisher-Yates (khop2) samplers.
+    """
+    n = deg.shape[0]
+    u = jax.random.uniform(key, (n, fanout))
+    picks = jnp.full((n, fanout), -1, dtype=jnp.int32)
+    big = deg >= fanout
+    for j in range(fanout):
+        J = deg - fanout + j                       # >= 0 when big
+        t = jnp.floor(u[:, j] * (J + 1).astype(u.dtype)).astype(jnp.int32)
+        t = jnp.minimum(t, J)
+        if j > 0:
+            collided = jnp.any(picks[:, :j] == t[:, None], axis=1)
+            t = jnp.where(collided, J, t)
+        small_pick = jnp.where(j < deg, j, -1)     # deg < fanout: take all
+        picks = picks.at[:, j].set(jnp.where(big, t, small_pick))
+    valid = picks >= 0
+    return picks, valid
+
+
+def _with_replacement(
+    key: jax.Array, deg: jnp.ndarray, fanout: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n = deg.shape[0]
+    u = jax.random.uniform(key, (n, fanout))
+    idx = jnp.floor(u * deg[:, None].astype(u.dtype)).astype(jnp.int32)
+    idx = jnp.minimum(idx, deg[:, None] - 1)
+    valid = jnp.broadcast_to((deg > 0)[:, None], idx.shape)
+    return jnp.where(valid, idx, -1), valid
+
+
+def _weighted_alias(
+    key: jax.Array,
+    deg: jnp.ndarray,
+    off,
+    graph: CSRGraph,
+    fanout: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Alias-method weighted with replacement
+    (cuda_sampling_weighted_khop.cu)."""
+    n = deg.shape[0]
+    k1, k2 = jax.random.split(key)
+    u1 = jax.random.uniform(k1, (n, fanout))
+    u2 = jax.random.uniform(k2, (n, fanout))
+    slot = jnp.minimum(
+        jnp.floor(u1 * deg[:, None].astype(u1.dtype)).astype(jnp.int32),
+        deg[:, None] - 1,
+    )
+    flat = off[:, None] + slot
+    flat_c = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
+    prob = graph.prob_table[flat_c]
+    alias = graph.alias_table[flat_c]
+    idx = jnp.where(u2 < prob, slot, alias)
+    valid = jnp.broadcast_to((deg > 0)[:, None], idx.shape)
+    return jnp.where(valid, idx, -1), valid
+
+
+def _weighted_prefix(
+    key: jax.Array,
+    deg: jnp.ndarray,
+    off,
+    graph: CSRGraph,
+    fanout: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Binary search on per-vertex prefix sums
+    (cuda_sampling_weighted_khop_prefix.cu)."""
+    n = deg.shape[0]
+    prefix = graph.prob_prefix_table
+    E = prefix.shape[0]
+    last = jnp.clip(off + deg - 1, 0, E - 1)
+    total = jnp.where(deg > 0, prefix[last], 0.0)
+    u = jax.random.uniform(key, (n, fanout)) * total[:, None]
+
+    # 32-step binary search over [0, deg) for smallest j: prefix[off+j] >= u
+    lo = jnp.zeros((n, fanout), dtype=jnp.int32)
+    hi = jnp.broadcast_to(deg[:, None], (n, fanout)).astype(jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        flat = jnp.clip(off[:, None] + mid, 0, E - 1)
+        pm = prefix[flat]
+        go_right = pm < u
+        return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, 32, body, (lo, hi))
+    idx = jnp.minimum(lo, deg[:, None] - 1)
+    valid = jnp.broadcast_to((deg > 0)[:, None], idx.shape)
+    return jnp.where(valid, idx, -1), valid
+
+
+def sample_layer(
+    key: jax.Array,
+    graph: CSRGraph,
+    inputs: jnp.ndarray,
+    fanout: int,
+    sample_type: SampleType,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample one hop.
+
+    Args:
+      inputs: [N_cap] int32 seed ids, -1 padded.
+    Returns:
+      (neighbors [N_cap*fanout] int32 -1-padded — slot i*fanout+j is the
+       j-th pick of seed i; valid mask [N_cap*fanout] bool.)
+    """
+    n = inputs.shape[0]
+    node_ok = inputs >= 0
+    safe_in = jnp.where(node_ok, inputs, 0)
+    ptr_dtype = graph.indptr.dtype
+    off = graph.indptr[safe_in]
+    deg = (graph.indptr[safe_in + 1] - off).astype(jnp.int32)
+    deg = jnp.where(node_ok, deg, 0)
+
+    if sample_type in (SampleType.KHOP0, SampleType.KHOP2):
+        idx, valid = _floyd_without_replacement(key, deg, fanout)
+    elif sample_type == SampleType.KHOP1:
+        idx, valid = _with_replacement(key, deg, fanout)
+    elif sample_type in (
+        SampleType.WEIGHTED_KHOP,
+        SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+    ):
+        idx, valid = _weighted_alias(key, deg, off, graph, fanout)
+    elif sample_type == SampleType.WEIGHTED_KHOP_PREFIX:
+        idx, valid = _weighted_prefix(key, deg, off, graph, fanout)
+    else:
+        raise ValueError(f"sample_layer does not handle {sample_type}")
+
+    flat = off[:, None] + jnp.maximum(idx, 0).astype(ptr_dtype)
+    flat = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
+    nbr = jnp.take(graph.indices, flat.reshape(-1), mode="clip")
+    valid = valid.reshape(-1) & jnp.repeat(node_ok, fanout)
+    return jnp.where(valid, nbr, -1), valid
+
+
+# ---------------------------------------------------------------------------
+# multi-layer pipeline (DoGPUSample analog, cuda_loops.cc:50-267)
+# ---------------------------------------------------------------------------
+
+def multi_layer_sample(
+    key: jax.Array,
+    graph: CSRGraph,
+    seeds: jnp.ndarray,
+    num_seeds: jnp.ndarray,
+    plan: SamplePlan,
+    sample_type: SampleType,
+) -> SampledBatch:
+    """Sample all hops + dedup + local-id remap, fully jittable.
+
+    Mirrors the reference inner loop (cuda_loops.cc:87-257): per hop,
+    sample -> FillWithDuplicates -> MapEdges; the final unique list is the
+    batch's ``input_nodes`` for feature extraction.
+    """
+    assert seeds.shape[0] == plan.num_input_cap[0], (
+        f"seeds cap {seeds.shape[0]} != plan {plan.num_input_cap[0]}"
+    )
+    cur = seeds
+    num_cur = num_seeds
+    blocks_rev: List[Block] = []
+    overflowed = jnp.zeros((), dtype=bool)
+
+    for hop in range(plan.num_layer):
+        fanout = plan.fanouts[hop]
+        k = jax.random.fold_in(key, hop)
+        nbrs, valid = sample_layer(k, graph, cur, fanout, sample_type)
+
+        unique, num_unique, ovf = unique_with_seeds(
+            cur, num_cur, nbrs, plan.num_unique_cap[hop]
+        )
+        overflowed = overflowed | ovf
+
+        src_local = lookup_local_ids(unique, plan.num_input_cap[hop], nbrs)
+        e_cap = plan.num_edge_cap[hop]
+        dst_local = jnp.repeat(
+            jnp.arange(plan.num_input_cap[hop], dtype=jnp.int32), fanout
+        )
+        mask = valid & (src_local >= 0)
+        blocks_rev.append(
+            Block(
+                src_local=jnp.where(mask, src_local, -1),
+                dst_local=jnp.where(mask, dst_local, -1),
+                mask=mask,
+                num_src=num_unique.astype(jnp.int32),
+                num_dst=num_cur.astype(jnp.int32),
+            )
+        )
+        cur = unique
+        num_cur = num_unique
+
+    return SampledBatch(
+        blocks=tuple(reversed(blocks_rev)),
+        input_nodes=cur,
+        num_input=num_cur.astype(jnp.int32),
+        output_nodes=seeds[: plan.batch_size],
+        num_output=num_seeds.astype(jnp.int32),
+        overflowed=overflowed,
+    )

@@ -1,0 +1,2 @@
+from .logging import get_logger, log_config, log_test_result
+from .timer import Timer

@@ -1,0 +1,33 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip hardware is unavailable in CI; all sharding tests run on
+XLA's host-platform device emulation (SURVEY.md §4 implication).
+Must run before jax is imported anywhere.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def small_ds():
+    from fgnn_tpu.data import make_synthetic_dataset
+
+    return make_synthetic_dataset(num_node=2000, avg_degree=8, feat_dim=32,
+                                  num_class=8, seed=42)
+
+
+@pytest.fixture(scope="session")
+def tiny_graph():
+    """Hand-checkable CSR graph."""
+    indptr = np.array([0, 3, 5, 5, 9, 10], dtype=np.int64)
+    indices = np.array([1, 2, 3, 0, 4, 0, 1, 2, 4, 3], dtype=np.int32)
+    return indptr, indices

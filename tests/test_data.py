@@ -1,0 +1,50 @@
+"""Dataset format round-trip: write reference binary layout, mmap-load it."""
+import numpy as np
+
+from fgnn_tpu.data import load_dataset, make_synthetic_dataset, write_dataset
+from fgnn_tpu.data.synthetic import build_alias_tables
+
+
+def test_roundtrip(tmp_path):
+    ds = make_synthetic_dataset(num_node=500, avg_degree=5, feat_dim=8,
+                                num_class=3, seed=1)
+    build_alias_tables(ds, seed=1)
+    write_dataset(ds, str(tmp_path))
+    ds2 = load_dataset(ds.name, root=str(tmp_path))
+
+    assert ds2.num_node == ds.num_node
+    assert ds2.num_edge == ds.num_edge
+    assert ds2.num_class == ds.num_class
+    np.testing.assert_array_equal(np.asarray(ds2.indptr), ds.indptr)
+    np.testing.assert_array_equal(np.asarray(ds2.indices), ds.indices)
+    np.testing.assert_allclose(np.asarray(ds2.feat), ds.feat)
+    np.testing.assert_array_equal(np.asarray(ds2.label), ds.label)
+    np.testing.assert_array_equal(ds2.train_set, ds.train_set)
+    np.testing.assert_allclose(np.asarray(ds2.prob_table), ds.prob_table)
+    np.testing.assert_array_equal(np.asarray(ds2.alias_table), ds.alias_table)
+
+
+def test_alias_table_distribution():
+    """Alias method must reproduce the weight distribution."""
+    ds = make_synthetic_dataset(num_node=50, avg_degree=6, feat_dim=4,
+                                num_class=2, seed=3)
+    build_alias_tables(ds, seed=3)
+    # pick a vertex with degree >= 3 and simulate draws host-side
+    deg = np.diff(ds.indptr)
+    v = int(np.argmax(deg))
+    off, end = int(ds.indptr[v]), int(ds.indptr[v + 1])
+    d = end - off
+    rng = np.random.default_rng(0)
+    n_draw = 20000
+    slots = rng.integers(0, d, n_draw)
+    coins = rng.random(n_draw)
+    take_alias = coins >= ds.prob_table[off + slots]
+    final = np.where(take_alias, ds.alias_table[off + slots], slots)
+    counts = np.bincount(final, minlength=d)
+    # expected proportional to the weights implied by prefix table
+    prefix = ds.prob_prefix_table[off:end]
+    w = np.diff(np.concatenate([[0.0], prefix]))
+    expect = w / w.sum() * n_draw
+    assert np.all(np.abs(counts - expect) < 6 * np.sqrt(expect + 1)), (
+        counts, expect
+    )
