@@ -1,0 +1,103 @@
+"""Shared app arguments + result reporting.
+
+Analog of example/samgraph/multi_gpu/common_config.py: the same argparse
+surface (--dataset, --arch, --cache-policy, ...), the same
+``config:<k>=<v>`` / ``test_result:<k>=<v>`` machine-parseable output
+(lines the exp/ harness regexes), and --validate-configs early exit.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+from fgnn_tpu.config import CachePolicy, RunArch, RunConfig, SampleType
+from fgnn_tpu.utils.logging import log_config
+
+
+def add_common_arguments(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--root-path", default=None,
+                   help="dataset root (reference binary layout)")
+    p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--arch", default="arch5",
+                   choices=[f"arch{i}" for i in range(8)])
+    p.add_argument("--sample-type", default=None)
+    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--num-epoch", type=int, default=10)
+    p.add_argument("--num-hidden", type=int, default=256)
+    p.add_argument("--fanout", nargs="+", type=int, default=[5, 10, 15])
+    p.add_argument("--lr", type=float, default=0.003)
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--num-sample-worker", type=int, default=1)
+    p.add_argument("--num-train-worker", type=int, default=1)
+    p.add_argument("--cache-policy", default="pre_sample")
+    p.add_argument("--cache-percentage", type=float, default=0.0)
+    p.add_argument("--presample-epoch", type=int, default=1)
+    p.add_argument("--pipeline", action="store_true", default=True)
+    p.add_argument("--no-pipeline", dest="pipeline", action="store_false")
+    p.add_argument("--num-random-walk", type=int, default=4)
+    p.add_argument("--random-walk-length", type=int, default=3)
+    p.add_argument("--random-walk-restart-prob", type=float, default=0.5)
+    p.add_argument("--num-neighbor", type=int, default=5)
+    p.add_argument("--num-layer", type=int, default=3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--validate-configs", action="store_true")
+    p.add_argument("--report-acc", type=int, default=0,
+                   help="evaluate test acc every N epochs (0=off)")
+
+
+def build_run_config(args, model: str, default_sample: str) -> RunConfig:
+    st = SampleType(args.sample_type or default_sample)
+    cfg = RunConfig(
+        dataset=args.dataset,
+        arch=RunArch(int(args.arch[4:])),
+        sample_type=st,
+        fanout=tuple(args.fanout),
+        batch_size=args.batch_size,
+        num_epoch=args.num_epoch,
+        num_hidden=args.num_hidden,
+        lr=args.lr,
+        dropout=args.dropout,
+        weight_decay=args.weight_decay,
+        num_sample_worker=args.num_sample_worker,
+        num_train_worker=args.num_train_worker,
+        cache_policy=CachePolicy(args.cache_policy),
+        cache_percentage=args.cache_percentage,
+        presample_epoch=args.presample_epoch,
+        pipeline=args.pipeline,
+        model=model,
+        num_random_walk=args.num_random_walk,
+        random_walk_length=args.random_walk_length,
+        random_walk_restart_prob=args.random_walk_restart_prob,
+        num_neighbor=args.num_neighbor,
+        num_layer_rw=args.num_layer,
+        seed=args.seed,
+    ).validate()
+    return cfg
+
+
+def print_run_config(cfg: RunConfig) -> None:
+    import dataclasses
+
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if hasattr(v, "value"):
+            v = v.value
+        log_config(f.name, v)
+
+
+def load_app_dataset(args):
+    """Load from the binary layout if present, else synthesize."""
+    from fgnn_tpu.data import load_dataset, make_synthetic_dataset
+    from fgnn_tpu.data.synthetic import build_alias_tables
+
+    if args.dataset != "synthetic":
+        return load_dataset(args.dataset, root=args.root_path)
+    ds = make_synthetic_dataset(
+        num_node=args.synthetic_nodes, avg_degree=15, feat_dim=128,
+        num_class=64, seed=args.seed,
+    )
+    if (args.sample_type or "").startswith("weighted"):
+        build_alias_tables(ds, seed=args.seed)
+    return ds

@@ -1,0 +1,104 @@
+"""Generic training app — all models, all archs.
+
+Replaces the reference's per-model process-orchestration scripts
+(example/samgraph/multi_gpu/train_{gcn,graphsage,pinsage}.py,
+example/samgraph/sgnn/*, example/samgraph/train_*.py): on TPU the
+fork-per-GPU + mp.Barrier machinery becomes mesh role assignment inside
+one process, so a single app covers arch1 (one chip), arch5 (factored)
+and arch6 (SGNN).
+
+Emits the reference's machine-parseable result lines
+(``test_result:epoch_time=...`` etc., train_gcn.py:411-412 format).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from examples.common_config import (
+    add_common_arguments,
+    build_run_config,
+    load_app_dataset,
+    print_run_config,
+)
+from fgnn_tpu.config import RunArch
+from fgnn_tpu.utils.logging import log_test_result
+from fgnn_tpu.utils.profiler import Profiler
+
+DEFAULT_SAMPLE = {
+    "gcn": "khop2",
+    "graphsage": "khop0",
+    "pinsage": "random_walk",
+    "gat": "khop2",
+}
+
+
+def main():
+    p = argparse.ArgumentParser("fgnn_tpu training app")
+    p.add_argument("--model", default="graphsage",
+                   choices=list(DEFAULT_SAMPLE))
+    add_common_arguments(p)
+    args = p.parse_args()
+
+    cfg = build_run_config(args, args.model, DEFAULT_SAMPLE[args.model])
+    print_run_config(cfg)
+    if args.validate_configs:
+        return
+
+    ds = load_app_dataset(args)
+
+    t_init = time.time()
+    if cfg.arch == RunArch.ARCH5:
+        from fgnn_tpu.parallel.factored import FactoredEngine
+
+        eng = FactoredEngine(cfg, ds)
+    elif cfg.arch == RunArch.ARCH6:
+        from fgnn_tpu.parallel.factored import SGNNEngine
+
+        eng = SGNNEngine(cfg, ds)
+    else:
+        from fgnn_tpu.engine import OneChipEngine
+
+        eng = OneChipEngine(cfg, ds)
+    init_time = time.time() - t_init
+    log_test_result("init_time", f"{init_time:.4f}")
+
+    epoch_times = []
+    for e in range(cfg.num_epoch):
+        stats = eng.run_epoch(e)
+        epoch_times.append(stats["epoch_time"])
+        print(
+            f"Epoch {e:05d} | Time {stats['epoch_time']:.4f} | "
+            f"Loss {stats['loss']:.4f} | Acc {stats['acc']:.4f}"
+        )
+        if args.report_acc and (e + 1) % args.report_acc == 0 and hasattr(
+            eng, "evaluate"
+        ):
+            log_test_result("test_acc", f"{eng.evaluate():.4f}")
+
+    # reference convention: epoch 0 is warm-up (common_config.py:162-163)
+    steady = epoch_times[1:] or epoch_times
+    log_test_result("epoch_time", f"{np.mean(steady):.4f}")
+    log_test_result("epoch_time:min", f"{np.min(steady):.4f}")
+    prof = Profiler.get()
+    log_test_result(
+        "sample_time", f"{prof.step_average('L1_sample_time'):.4f}"
+    )
+    log_test_result("copy_time", f"{prof.step_average('L1_copy_time'):.4f}")
+    log_test_result("train_time", f"{prof.step_average('L1_train_time'):.4f}")
+    fb = prof.epoch_average("epoch_feature_bytes")
+    mb = prof.epoch_average("epoch_miss_bytes")
+    if fb > 0:
+        log_test_result("cache_hit_rate", f"{1.0 - mb / fb:.4f}")
+    log_test_result("init:presample", f"{prof._init.get('init_presample', 0.0):.4f}")
+    log_test_result("init:load_dataset", f"{prof._init.get('init_load_dataset', 0.0):.4f}")
+    log_test_result("init:build_cache", f"{prof._init.get('init_build_cache', 0.0):.4f}")
+
+
+if __name__ == "__main__":
+    main()

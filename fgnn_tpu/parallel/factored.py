@@ -1,0 +1,499 @@
+"""Factored multi-chip engines.
+
+FactoredEngine = arch5 (FGNN proper, dist_engine.cc + dist_loops_arch5.cc):
+dedicated sampler chips produce batches in SPMD waves; batches cross to the
+trainer submesh (device_put over ICI — the MemoryQueue analog); trainer
+chips run data-parallel training with gradient all-reduce over the 'data'
+mesh axis (replacing torch DDP/NCCL, train_gcn.py:223-242).
+
+SGNNEngine = arch6 (the T_SOTA space-shared baseline,
+dist_loops_arch6.cc): every chip samples AND trains its own batch inside
+one fused SPMD step.
+
+Pipelining: instead of background threads + bounded TaskQueues
+(cuda_loops_arch*.cc), we exploit JAX's async dispatch — sample waves are
+launched ahead of consumption up to ``max_copying_jobs`` in-flight waves,
+giving the same sample/train overlap with no threads.
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..cache.manager import FeatureCache
+from ..cache.presample import presample_ranking
+from ..cache.policy import build_ranking
+from ..config import CachePolicy, RunConfig, SampleType
+from ..data.schema import Dataset
+from ..models import build_model
+from ..ops.extract import device_gather, label_gather
+from ..ops.padding import make_plan
+from ..ops.random_walk import random_walk_topk
+from ..ops.reference_impl import calibrate_caps
+from ..ops.sampling import CSRGraph, multi_layer_sample
+from ..parallel.mesh import RoleMesh, make_data_mesh, make_role_mesh
+from ..parallel.shuffler import AlignedDistShuffler, DistShuffler
+from ..train.loop import TrainState, create_train_state, masked_cross_entropy
+from ..utils import Timer, get_logger
+from ..utils.profiler import Profiler
+
+log = get_logger(__name__)
+
+
+def _put_graph(ds: Dataset, cfg: RunConfig, sharding) -> CSRGraph:
+    ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
+    def put(x, dtype=None):
+        a = np.asarray(x)
+        if dtype is not None:
+            a = a.astype(dtype)
+        return jax.device_put(a, sharding)
+    weighted = cfg.sample_type in (
+        SampleType.WEIGHTED_KHOP, SampleType.WEIGHTED_KHOP_HASH_DEDUP
+    )
+    return CSRGraph(
+        indptr=put(ds.indptr, ptr_dtype),
+        indices=put(ds.indices),
+        prob_table=put(ds.prob_table) if weighted and ds.prob_table is not None else None,
+        alias_table=put(ds.alias_table) if weighted and ds.alias_table is not None else None,
+        prob_prefix_table=(
+            put(ds.prob_prefix_table)
+            if cfg.sample_type == SampleType.WEIGHTED_KHOP_PREFIX
+            and ds.prob_prefix_table is not None
+            else None
+        ),
+    )
+
+
+class _EngineBase:
+    """Shared setup: plan calibration, sampler closure, model."""
+
+    def _setup_common(self, cfg: RunConfig, ds: Dataset):
+        self.cfg = cfg
+        self.ds = ds
+        indptr = np.asarray(ds.indptr)
+        if cfg.sample_type == SampleType.RANDOM_WALK:
+            fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
+        else:
+            fan_sampling = list(reversed(cfg.fanout))
+        caps = calibrate_caps(
+            indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
+            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            replace=(cfg.sample_type == SampleType.KHOP1),
+        )
+        self.plan = make_plan(
+            cfg.batch_size, list(reversed(fan_sampling)), ds.num_node,
+            unique_caps=caps,
+        )
+        self.dst_caps = tuple(reversed(self.plan.num_input_cap))
+        self.model = build_model(
+            cfg.model, ds.feat_dim, cfg.num_hidden, ds.num_class,
+            self.plan.num_layer, cfg.dropout,
+        )
+
+    def _sample_one(self, graph, key, seeds, num_seeds):
+        cfg = self.cfg
+        if cfg.sample_type == SampleType.RANDOM_WALK:
+            return random_walk_topk(
+                key, graph, seeds, num_seeds, self.plan,
+                num_random_walk=cfg.num_random_walk,
+                random_walk_length=cfg.random_walk_length,
+                restart_prob=cfg.random_walk_restart_prob,
+            )
+        return multi_layer_sample(
+            key, graph, seeds, num_seeds, self.plan, cfg.sample_type
+        )
+
+    def _build_cache(self, sample_fn, shuffler) -> Optional[FeatureCache]:
+        cfg = self.cfg
+        if not cfg.use_cache:
+            return None
+        if cfg.cache_policy in (CachePolicy.PRESAMPLE, CachePolicy.PRESAMPLE_STATIC):
+            ranking = presample_ranking(
+                sample_fn, shuffler, self.ds.num_node,
+                presample_epoch=cfg.presample_epoch, seed=cfg.seed,
+            )
+        else:
+            ranking = build_ranking(self.ds, cfg.cache_policy, cfg.seed)
+        return FeatureCache(
+            self.ds.feat, ranking, cfg.cache_percentage, self.ds.num_node
+        )
+
+
+class FactoredEngine(_EngineBase):
+    """arch5: S sampler chips + T trainer chips."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        ds: Dataset,
+        devices: Optional[Sequence] = None,
+        feat_on_trainer: Optional[bool] = None,
+    ):
+        cfg.validate()
+        self._setup_common(cfg, ds)
+        S, T = cfg.num_sample_worker, cfg.num_train_worker
+        self.roles = make_role_mesh(S, T, devices)
+        prof = Profiler.get()
+        t0 = Timer()
+
+        # --- sampler side (SampleInit analog, dist_engine.cc:231-364) ----
+        self.graph_s = _put_graph(ds, cfg, self.roles.sampler_replicated)
+
+        def sample_wave(keys, seeds, nums):
+            # vmapped over the sampler axis: one batch per sampler chip
+            return jax.vmap(
+                lambda k, s, n: self._sample_one(self.graph_s, k, s, n)
+            )(keys, seeds, nums)
+
+        shard_s = self.roles.sampler_sharding
+        repl_s = self.roles.sampler_replicated
+        self.sample_wave = jax.jit(
+            sample_wave,
+            in_shardings=(shard_s, shard_s, shard_s),
+            out_shardings=shard_s,
+        )
+
+        # shufflers: contiguous step ranges per sampler (dist_shuffler.cc)
+        seed_cap = self.plan.num_input_cap[0]
+        self.shufflers = [
+            DistShuffler(ds.train_set, cfg.batch_size, seed_cap, s, S,
+                         base_seed=cfg.seed)
+            for s in range(S)
+        ]
+        self.num_step = self.shufflers[0].num_step
+        prof.set_num_step(self.num_step)
+
+        # presample runs on sampler chip 0 before trainers init
+        # (dist_engine.cc:323-344 ordering)
+        single_sample = jax.jit(
+            lambda k, s, n: self._sample_one(self.graph_s, k, s, n)
+        )
+        self.cache = self._build_cache(single_sample, self.shufflers[0])
+
+        # --- trainer side (TrainInit analog, dist_engine.cc:366-465) -----
+        feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * 4
+        if feat_on_trainer is None:
+            feat_on_trainer = not cfg.use_cache and feat_bytes <= (6 << 30)
+        self.feat_on_trainer = feat_on_trainer
+        repl_t = self.roles.trainer_replicated
+        shard_t = self.roles.trainer_sharding
+        if feat_on_trainer:
+            self.feat_t = jax.device_put(np.asarray(ds.feat), repl_t)
+        else:
+            self.feat_t = None
+            if self.cache is not None:
+                self.cache_data_t = jax.device_put(
+                    np.asarray(self.cache.cache_data), repl_t
+                )
+        self.label_t = jax.device_put(np.asarray(ds.label), repl_t)
+
+        # init params on trainer mesh
+        self._cur_epoch = 0
+        k0 = jax.random.key(cfg.seed)
+        seeds0, n0, _ = next(self.shufflers[0].batches(0))
+        batch0 = single_sample(k0, jnp.asarray(seeds0), jnp.int32(n0))
+        batch0_t = jax.device_put(batch0, repl_t)
+        feats0 = self._feats_for(batch0_t)
+        state, self.tx = create_train_state(
+            self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
+            self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
+        )
+        self.state = jax.device_put(state, repl_t)
+
+        # --- the DP train wave -------------------------------------------
+        B = cfg.batch_size
+        model, dst_caps = self.model, self.dst_caps
+
+        def train_wave(state, batches, feats, keys):
+            # batches/feats/keys have leading dim T, sharded over 'data';
+            # the mean over that axis gives DDP-style grad all-reduce.
+            def loss_fn(params):
+                def one(batch, f, k):
+                    logits = model.apply(
+                        {"params": params}, batch, f, dst_caps,
+                        deterministic=False, rngs={"dropout": k},
+                    )
+                    labels = label_gather(self.label_t, batch.output_nodes)
+                    l, a = masked_cross_entropy(logits[:B], labels[:B])
+                    w = (batch.num_output > 0).astype(jnp.float32)
+                    return l * w, a * w, w
+
+                ls, accs, ws = jax.vmap(one)(batches, feats, keys)
+                wsum = jnp.maximum(ws.sum(), 1.0)
+                return ls.sum() / wsum, accs.sum() / wsum
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(
+                lambda p, u: p + u, state.params, updates
+            )
+            return (
+                TrainState(params=new_params, opt_state=new_opt,
+                           step=state.step + 1),
+                loss,
+                acc,
+            )
+
+        self.train_wave = jax.jit(
+            train_wave,
+            in_shardings=(repl_t, shard_t, shard_t, shard_t),
+            out_shardings=(repl_t, repl_t, repl_t),
+            donate_argnums=(0,),
+        )
+        prof.log_init("init_other", t0.passed())
+        log.info(
+            "FactoredEngine: %d samplers + %d trainers, %d steps/epoch, "
+            "cache=%s feat_on_trainer=%s",
+            S, T, self.num_step,
+            f"{cfg.cache_percentage:.0%}" if self.cache else "off",
+            feat_on_trainer,
+        )
+
+    # ------------------------------------------------------------------
+    def _feats_for(self, batch_t):
+        """Feature extraction on the trainer side for one batch (already on
+        trainer mesh)."""
+        if self.feat_on_trainer:
+            return device_gather(self.feat_t, batch_t.input_nodes)
+        assert self.cache is not None, (
+            "host-resident features require a cache in factored mode"
+        )
+        # trainer-side miss handling (DoCacheFeatureCopy analog)
+        ids = np.asarray(batch_t.input_nodes)
+        index = self.cache.get_miss_cache_index(jnp.asarray(ids))
+        num_miss = int(index.num_miss)
+        miss = self.cache.host_extract_miss(np.asarray(index.miss_ids), num_miss)
+        miss_t = jax.device_put(miss, self.roles.trainer_replicated)
+        prof = Profiler.get()
+        prof.log_epoch_add(self._cur_epoch, "epoch_miss_bytes",
+                           float(num_miss * miss.shape[1] * 4))
+        prof.log_epoch_add(self._cur_epoch, "epoch_feature_bytes",
+                           float(len(ids) * miss.shape[1] * 4))
+        return self.cache.combine(index, miss_t)
+
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        self._cur_epoch = epoch
+        S, T = self.roles.num_sampler, self.roles.num_trainer
+        t_epoch = Timer()
+        base = jax.random.key(cfg.seed)
+        repl_t = self.roles.trainer_replicated
+
+        iters = [sh.batches(epoch) for sh in self.shufflers]
+        live = list(range(S))
+        pending_batches: deque = deque()
+        in_flight: deque = deque()
+        losses, accs = [], []
+
+        def launch_wave():
+            nonlocal live
+            seeds_l, nums_l, keys_l = [], [], []
+            for s in list(live):
+                try:
+                    seeds, n, step = next(iters[s])
+                except StopIteration:
+                    live.remove(s)
+                    continue
+                seeds_l.append(seeds)
+                nums_l.append(np.int32(n))
+                keys_l.append(
+                    jax.random.fold_in(base, epoch * self.num_step + step)
+                )
+            if not seeds_l:
+                return False
+            while len(seeds_l) < S:  # pad wave (dead sampler slots)
+                seeds_l.append(np.full_like(seeds_l[0], -1))
+                nums_l.append(np.int32(0))
+                keys_l.append(jax.random.fold_in(base, 0x7FFFFFFF))
+            wave = self.sample_wave(
+                jnp.stack(keys_l), jnp.asarray(np.stack(seeds_l)),
+                jnp.asarray(np.stack(nums_l)),
+            )
+            in_flight.append((wave, len([1 for n in nums_l if int(n) > 0])))
+            return True
+
+        def drain_wave():
+            wave, n_real = in_flight.popleft()
+            # cross the sampler->trainer boundary (the "global queue"):
+            # one ICI/device transfer of the whole wave
+            wave_t = jax.device_put(wave, repl_t)
+            for i in range(n_real):
+                b = jax.tree.map(lambda a: a[i], wave_t)
+                pending_batches.append(b)
+
+        shard_t = self.roles.trainer_sharding
+
+        def train_group():
+            group = []
+            while pending_batches and len(group) < T:
+                group.append(pending_batches.popleft())
+            # partial final group: pad by repeating (dummy repeats carry
+            # weight w>0 — dedup by zeroing their loss weight would double
+            # count; repeating a real batch only reweights it slightly,
+            # matching the reference's aligned-step padding semantics)
+            while len(group) < T:
+                group.append(group[0])
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+            feats = jnp.stack([self._feats_for(b) for b in group])
+            # shard the group over the trainer 'data' axis (committed args
+            # must match the jit's in_shardings exactly)
+            stacked = jax.device_put(stacked, shard_t)
+            feats = jax.device_put(feats, shard_t)
+            keys = jax.random.split(
+                jax.random.fold_in(base, 0xD0 + len(losses)), T
+            )
+            self.state, loss, acc = self.train_wave(
+                self.state, stacked, feats, keys
+            )
+            losses.append(loss)
+            accs.append(acc)
+
+        depth = max(1, cfg.max_copying_jobs)
+        more = True
+        while more or in_flight or pending_batches:
+            while more and len(in_flight) < depth:
+                more = launch_wave()
+            if in_flight:
+                drain_wave()
+            while len(pending_batches) >= T:
+                train_group()
+            if not more and not in_flight and pending_batches:
+                train_group()  # final partial group (padded by repeat)
+
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        epoch_time = t_epoch.passed()
+        Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.num_step,
+        }
+
+
+class SGNNEngine(_EngineBase):
+    """arch6: every chip samples + extracts + trains (space-shared)."""
+
+    def __init__(self, cfg: RunConfig, ds: Dataset,
+                 devices: Optional[Sequence] = None):
+        cfg.validate()
+        self._setup_common(cfg, ds)
+        W = cfg.num_train_worker
+        self.mesh = make_data_mesh(W, devices)
+        repl = NamedSharding(self.mesh, P())
+        shard = NamedSharding(self.mesh, P("data"))
+        self.repl, self.shard = repl, shard
+
+        self.graph = _put_graph(ds, cfg, repl)
+        self.feat_dev = jax.device_put(np.asarray(ds.feat), repl)
+        self.label_dev = jax.device_put(np.asarray(ds.label), repl)
+
+        seed_cap = self.plan.num_input_cap[0]
+        self.shufflers = [
+            AlignedDistShuffler(ds.train_set, cfg.batch_size, seed_cap, w, W,
+                                base_seed=cfg.seed)
+            for w in range(W)
+        ]
+        self.num_local_step = self.shufflers[0].num_local_step
+        Profiler.get().set_num_step(self.num_local_step * W)
+
+        # init
+        single_sample = jax.jit(
+            lambda k, s, n: self._sample_one(self.graph, k, s, n)
+        )
+        seeds0, n0, _ = next(self.shufflers[0].batches(0))
+        batch0 = single_sample(
+            jax.random.key(cfg.seed), jnp.asarray(seeds0), jnp.int32(n0)
+        )
+        feats0 = device_gather(self.feat_dev, batch0.input_nodes)
+        state, self.tx = create_train_state(
+            self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
+            self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
+        )
+        self.state = jax.device_put(state, repl)
+
+        B = cfg.batch_size
+        model, dst_caps = self.model, self.dst_caps
+
+        def fused_wave(state, keys, seeds, nums):
+            def loss_fn(params):
+                def one(k, s, n):
+                    batch = self._sample_one(self.graph, k, s, n)
+                    feats = device_gather(self.feat_dev, batch.input_nodes)
+                    labels = label_gather(self.label_dev, batch.output_nodes)
+                    logits = model.apply(
+                        {"params": params}, batch, feats, dst_caps,
+                        deterministic=False,
+                        rngs={"dropout": jax.random.fold_in(k, 7)},
+                    )
+                    l, a = masked_cross_entropy(logits[:B], labels[:B])
+                    w = (n > 0).astype(jnp.float32)
+                    return l * w, a * w, w
+
+                ls, accs, ws = jax.vmap(one)(keys, seeds, nums)
+                wsum = jnp.maximum(ws.sum(), 1.0)
+                return ls.sum() / wsum, accs.sum() / wsum
+
+            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            return (
+                TrainState(params=new_params, opt_state=new_opt,
+                           step=state.step + 1),
+                loss,
+                acc,
+            )
+
+        self.fused_wave = jax.jit(
+            fused_wave,
+            in_shardings=(repl, shard, shard, shard),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
+        log.info("SGNNEngine: %d workers, %d local steps/epoch", W,
+                 self.num_local_step)
+
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        W = len(self.shufflers)
+        t_epoch = Timer()
+        base = jax.random.key(cfg.seed)
+        iters = [sh.batches(epoch) for sh in self.shufflers]
+        losses, accs = [], []
+        for local in range(self.num_local_step):
+            seeds_l, nums_l, keys_l = [], [], []
+            for w in range(W):
+                seeds, n, step = next(iters[w])
+                seeds_l.append(seeds)
+                nums_l.append(np.int32(n))
+                keys_l.append(jax.random.fold_in(base, epoch * 100003 + step))
+            self.state, loss, acc = self.fused_wave(
+                self.state,
+                jnp.stack(keys_l),
+                jnp.asarray(np.stack(seeds_l)),
+                jnp.asarray(np.stack(nums_l)),
+            )
+            losses.append(loss)
+            accs.append(acc)
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        epoch_time = t_epoch.passed()
+        Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.num_local_step * W,
+        }

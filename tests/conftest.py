@@ -6,12 +6,21 @@ Must run before jax is imported anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell presets JAX_PLATFORMS=axon (real TPU tunnel) AND preloads jax
+# at interpreter startup, so the env var is already captured in jax.config —
+# override via config.update, not os.environ. XLA_FLAGS is read lazily at
+# first backend init, so setting it here still works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if not os.environ.get("FGNN_TPU_TEST_REAL"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
