@@ -27,6 +27,16 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: the fused-step XLA compile is expensive on
+    # first run; cache survives across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from fgnn_tpu.config import RunConfig, SampleType
@@ -60,14 +70,14 @@ def main():
     print(f"# warmup epoch: {time.time()-t0:.2f}s", file=sys.stderr)
 
     times = []
-    edges_per_epoch = sum(
-        eng.plan.num_edge_cap
-    ) * eng.shuffler.num_step  # upper bound; refine with real counts below
+    edges_per_epoch = 0
     for e in range(1, 4):
         t0 = time.time()
         stats = eng.run_epoch(e)
         times.append(stats["epoch_time"])
-        print(f"# epoch {e}: {stats['epoch_time']:.3f}s loss={stats['loss']:.3f}",
+        edges_per_epoch = max(edges_per_epoch, stats.get("sampled_edges", 0))
+        print(f"# epoch {e}: {stats['epoch_time']:.3f}s loss={stats['loss']:.3f} "
+              f"edges={stats.get('sampled_edges', 0)}",
               file=sys.stderr)
 
     epoch_time = float(np.median(times))

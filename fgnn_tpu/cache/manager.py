@@ -119,6 +119,10 @@ class FeatureCache:
     def host_extract_miss(self, miss_ids: np.ndarray, num_miss: int) -> np.ndarray:
         """ExtractMissData (host OpenMP gather analog): gather only the
         first ``num_miss`` rows; the padded tail is zeros."""
+        from .. import native
+
+        if native.available() and self.feat_host.dtype == np.float32:
+            return native.gather_f32(self.feat_host, miss_ids, n_real=num_miss)
         out = np.zeros((len(miss_ids), self.feat_host.shape[1]), dtype=np.float32)
         if num_miss:
             ids = miss_ids[:num_miss]

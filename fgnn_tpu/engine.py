@@ -176,7 +176,10 @@ class OneChipEngine:
                 new_state, loss, acc = train_step(
                     state, batch, feats, labels, k_drop
                 )
-                return new_state, loss, acc, batch.num_input, batch.overflowed
+                n_edges = sum(
+                    jnp.sum(b.mask).astype(jnp.int32) for b in batch.blocks
+                )
+                return new_state, loss, acc, n_edges, batch.overflowed
 
             self.fused_step = jax.jit(fused_step, donate_argnums=(0,))
             self.train_jit = None
@@ -204,12 +207,12 @@ class OneChipEngine:
             skey = prof.step_key(epoch, step)
             if self.fused_step is not None:
                 t = Timer()
-                self.state, loss, acc, n_in, ovf = self.fused_step(
+                self.state, loss, acc, n_edges, ovf = self.fused_step(
                     self.state, key, jnp.asarray(seeds), jnp.int32(n)
                 )
                 losses.append(loss)
                 accs.append(acc)
-                num_inputs.append(n_in)
+                num_inputs.append(n_edges)
                 prof.log_step(skey, "L1_train_time", t.passed())
             else:
                 t = Timer()
@@ -235,6 +238,7 @@ class OneChipEngine:
         # one device sync at epoch end — losses force completion
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
+        sampled_edges = int(sum(int(x) for x in num_inputs)) if num_inputs else 0
         epoch_time = t_epoch.passed()
         prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
         return {
@@ -243,6 +247,7 @@ class OneChipEngine:
             "loss": float(np.mean(losses)) if losses else 0.0,
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.shuffler.num_step,
+            "sampled_edges": sampled_edges,
         }
 
     def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:

@@ -1,0 +1,118 @@
+"""ctypes bindings for the native host runtime (libfgnn_host.so).
+
+Falls back to NumPy implementations when the shared object has not been
+built (``make -C fgnn_tpu/native``). The native paths matter at
+papers100M scale where the host feature gather is on the critical path
+(reference: cpu_extraction.cc with OpenMP).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libfgnn_host.so")
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    i64 = ctypes.c_int64
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.fgnn_gather_f32.argtypes = [f32p, i64, i64, i32p, i64, f32p]
+    lib.fgnn_gather_f32_partial.argtypes = [f32p, i64, i64, i32p, i64, i64, f32p]
+    lib.fgnn_count_freq.argtypes = [i32p, i64, i64, i64p]
+    lib.fgnn_rank_desc.argtypes = [i64p, i64, i32p]
+    _lib = lib
+    return lib
+
+
+def build(force: bool = False) -> bool:
+    """Compile the shared object in place. Returns True on success."""
+    if os.path.exists(_LIB_PATH) and not force:
+        return True
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            check=True, capture_output=True,
+        )
+        return _try_load() is not None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def available() -> bool:
+    return _try_load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def gather_f32(table: np.ndarray, ids: np.ndarray,
+               out: Optional[np.ndarray] = None,
+               n_real: Optional[int] = None) -> np.ndarray:
+    """out[i] = table[ids[i]] (parallel); ids<0 or i>=n_real -> zeros."""
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    n, dim = len(ids), table.shape[1]
+    if out is None:
+        out = np.empty((n, dim), dtype=np.float32)
+    lib = _try_load()
+    if lib is None:
+        real = n if n_real is None else n_real
+        safe = np.maximum(ids[:real], 0)
+        out[:real] = table[safe]
+        out[:real][ids[:real] < 0] = 0
+        out[real:] = 0
+        return out
+    if not (table.flags["C_CONTIGUOUS"] and table.dtype == np.float32):
+        table = np.ascontiguousarray(table, dtype=np.float32)
+    if n_real is None:
+        lib.fgnn_gather_f32(
+            _ptr(table, ctypes.c_float), table.shape[0], dim,
+            _ptr(ids, ctypes.c_int32), n, _ptr(out, ctypes.c_float),
+        )
+    else:
+        lib.fgnn_gather_f32_partial(
+            _ptr(table, ctypes.c_float), table.shape[0], dim,
+            _ptr(ids, ctypes.c_int32), n, n_real, _ptr(out, ctypes.c_float),
+        )
+    return out
+
+
+def count_freq(ids: np.ndarray, num_nodes: int,
+               counts: Optional[np.ndarray] = None) -> np.ndarray:
+    ids = np.ascontiguousarray(ids, dtype=np.int32)
+    if counts is None:
+        counts = np.zeros(num_nodes, dtype=np.int64)
+    lib = _try_load()
+    if lib is None:
+        valid = ids[(ids >= 0) & (ids < num_nodes)]
+        np.add.at(counts, valid, 1)
+        return counts
+    lib.fgnn_count_freq(
+        _ptr(ids, ctypes.c_int32), len(ids), num_nodes,
+        _ptr(counts, ctypes.c_int64),
+    )
+    return counts
+
+
+def rank_desc(counts: np.ndarray) -> np.ndarray:
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    lib = _try_load()
+    if lib is None:
+        return np.argsort(-counts, kind="stable").astype(np.int32)
+    out = np.empty(len(counts), dtype=np.int32)
+    lib.fgnn_rank_desc(_ptr(counts, ctypes.c_int64), len(counts),
+                       _ptr(out, ctypes.c_int32))
+    return out

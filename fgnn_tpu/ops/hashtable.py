@@ -87,6 +87,72 @@ def unique_with_seeds(
     return _from_sentinel(unique), num_unique, overflowed
 
 
+def unique_and_remap(
+    seeds: jnp.ndarray,
+    num_seeds: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    out_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused FillWithDuplicates + GPUMapEdges in ONE sort.
+
+    The hot path of DoGPUSample (cuda_loops.cc:176-204 does hashtable
+    insert + remap as separate kernel pipelines; we fuse them): sort the
+    concatenated [seeds | neighbors] once by (value, is_neighbor), derive
+    group leaders, assign locals (seed leaders keep their input position,
+    new leaders get S + rank), propagate to group members, and scatter
+    locals back through the sort permutation.
+
+    Returns (unique [out_cap] -1-padded seeds-first, num_unique,
+    nbr_local [E] int32 — local id per neighbor slot (-1 for padding),
+    overflowed bool).
+    """
+    S = seeds.shape[0]
+    E = neighbors.shape[0]
+    assert out_cap >= S
+    arr = jnp.concatenate([_to_sentinel(seeds), _to_sentinel(neighbors)])
+    tag = jnp.concatenate(
+        [jnp.zeros(S, jnp.int32), jnp.ones(E, jnp.int32)]
+    )
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S + E, 1), 0).squeeze(-1)
+    sa, st, sp = jax.lax.sort((arr, tag, pos), num_keys=2, is_stable=True)
+
+    first = jnp.concatenate([jnp.array([True]), sa[1:] != sa[:-1]])
+    is_pad = sa == INT_MAX
+    new_leader = first & (st == 1) & (~is_pad)
+    new_rank = jnp.cumsum(new_leader.astype(jnp.int32)) - 1
+    leader_local = jnp.where(st == 0, sp, S + new_rank)
+
+    # propagate each group's leader position forward, then gather its local
+    idx = jax.lax.broadcasted_iota(jnp.int32, (S + E, 1), 0).squeeze(-1)
+    lead_idx = jax.lax.cummax(jnp.where(first, idx, 0))
+    prop = leader_local[lead_idx]
+    local_sorted = jnp.where(is_pad, -1, prop)
+
+    # overflow: appended locals beyond out_cap are clipped to -1
+    local_sorted = jnp.where(local_sorted >= out_cap, -1, local_sorted)
+    num_new = jnp.sum(new_leader).astype(jnp.int32)
+    overflowed = (S + num_new) > out_cap
+
+    # unscatter through the (permutation) sort order
+    local_all = jnp.zeros(S + E, jnp.int32).at[sp].set(
+        local_sorted, unique_indices=True
+    )
+    nbr_local = local_all[S:]
+
+    # unique list: seeds block + scattered new leaders
+    unique = jnp.full((out_cap,), INT_MAX, jnp.int32).at[:S].set(
+        _to_sentinel(seeds)
+    )
+    tgt = jnp.where(new_leader, S + new_rank, out_cap)  # out-of-range drops
+    unique = unique.at[tgt].set(
+        jnp.where(new_leader, sa, INT_MAX), mode="drop"
+    )
+    num_unique = num_seeds + jnp.minimum(
+        num_new, jnp.int32(out_cap - S)
+    )
+    return _from_sentinel(unique), num_unique, nbr_local, overflowed
+
+
 def lookup_local_ids(
     unique: jnp.ndarray,
     num_seeds_static: int,

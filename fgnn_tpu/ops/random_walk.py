@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SampleType
-from .hashtable import unique_with_seeds, lookup_local_ids
+from .hashtable import unique_and_remap
 from .padding import SamplePlan
 from .sampling import Block, CSRGraph, SampledBatch
 
@@ -130,11 +130,10 @@ def random_walk_topk(
         weights = w.reshape(-1)
         valid = nbrs >= 0
 
-        unique, num_unique, ovf = unique_with_seeds(
+        unique, num_unique, src_local, ovf = unique_and_remap(
             cur, num_cur, nbrs, plan.num_unique_cap[hop]
         )
         overflowed = overflowed | ovf
-        src_local = lookup_local_ids(unique, plan.num_input_cap[hop], nbrs)
         dst_local = jnp.repeat(
             jnp.arange(plan.num_input_cap[hop], dtype=jnp.int32), K
         )

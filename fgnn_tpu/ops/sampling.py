@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import SampleType
-from .hashtable import unique_with_seeds, lookup_local_ids
+from .hashtable import unique_and_remap
 from .padding import SamplePlan
 
 
@@ -266,13 +266,11 @@ def multi_layer_sample(
         k = jax.random.fold_in(key, hop)
         nbrs, valid = sample_layer(k, graph, cur, fanout, sample_type)
 
-        unique, num_unique, ovf = unique_with_seeds(
+        unique, num_unique, src_local, ovf = unique_and_remap(
             cur, num_cur, nbrs, plan.num_unique_cap[hop]
         )
         overflowed = overflowed | ovf
 
-        src_local = lookup_local_ids(unique, plan.num_input_cap[hop], nbrs)
-        e_cap = plan.num_edge_cap[hop]
         dst_local = jnp.repeat(
             jnp.arange(plan.num_input_cap[hop], dtype=jnp.int32), fanout
         )
