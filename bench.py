@@ -47,10 +47,14 @@ def main():
     num_node = int(os.environ.get("FGNN_BENCH_NODES", 1_000_000))
     avg_deg = 15
     feat_dim = 128
+    # train_frac sized to give a papers100M-like step count (~38 steps at
+    # 1M nodes), so per-step dispatch overheads are amortized like the
+    # reference's 150-step epochs
+    train_frac = float(os.environ.get("FGNN_BENCH_TRAIN_FRAC", 0.25))
     t0 = time.time()
     ds = make_synthetic_dataset(
         num_node=num_node, avg_degree=avg_deg, feat_dim=feat_dim,
-        num_class=172, train_frac=0.012, seed=0,
+        num_class=172, train_frac=train_frac, seed=0,
     )
     print(f"# dataset: {ds.num_node} nodes {ds.num_edge} edges "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)

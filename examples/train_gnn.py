@@ -61,6 +61,10 @@ def main():
         from fgnn_tpu.parallel.factored import SGNNEngine
 
         eng = SGNNEngine(cfg, ds)
+    elif cfg.arch == RunArch.ARCH0:
+        from fgnn_tpu.host_engine import HostSamplingEngine
+
+        eng = HostSamplingEngine(cfg, ds)
     else:
         from fgnn_tpu.engine import OneChipEngine
 

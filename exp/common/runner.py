@@ -1,0 +1,119 @@
+"""Experiment runner/parser core.
+
+Analog of the reference's exp/ harness (runner.py + common_parser.py +
+logtable_def.py per figure/table): sweeps app configurations, captures
+logs, and regex-parses ``config:<k>=<v>`` / ``test_result:<k>=<v>`` lines
+into result tables.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from typing import Dict, List, Optional, Sequence
+
+_CONFIG_RE = re.compile(r"^config:([^=]+)=(.*)$")
+_RESULT_RE = re.compile(r"^test_result:([^=]+)=(.*)$")
+
+
+def parse_log(text: str) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for line in text.splitlines():
+        m = _CONFIG_RE.match(line)
+        if m:
+            out[f"config:{m.group(1)}"] = m.group(2)
+        m = _RESULT_RE.match(line)
+        if m:
+            out[m.group(1)] = m.group(2)
+    return out
+
+
+@dataclasses.dataclass
+class RunResult:
+    config: Dict[str, str]
+    values: Dict[str, str]
+    returncode: int
+    log_path: str
+
+
+def run_app(
+    app_args: Sequence[str],
+    log_dir: str,
+    tag: str,
+    env: Optional[dict] = None,
+    timeout: int = 1800,
+) -> RunResult:
+    os.makedirs(log_dir, exist_ok=True)
+    log_path = os.path.join(log_dir, f"{tag}.log")
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    full_env["PYTHONPATH"] = repo + os.pathsep + full_env.get("PYTHONPATH", "")
+    with open(log_path, "w") as f:
+        proc = subprocess.run(
+            [sys.executable] + list(app_args),
+            stdout=f, stderr=subprocess.STDOUT, env=full_env,
+            timeout=timeout, cwd=repo,
+        )
+    text = open(log_path).read()
+    parsed = parse_log(text)
+    config = {k[7:]: v for k, v in parsed.items() if k.startswith("config:")}
+    values = {k: v for k, v in parsed.items() if not k.startswith("config:")}
+    return RunResult(config=config, values=values,
+                     returncode=proc.returncode, log_path=log_path)
+
+
+def sweep(
+    base_args: Sequence[str],
+    grid: Dict[str, List[str]],
+    log_dir: str,
+    env: Optional[dict] = None,
+) -> List[RunResult]:
+    """Cartesian-product config sweep (reference runner.py pattern)."""
+    results = []
+    keys = list(grid)
+    for combo in itertools.product(*(grid[k] for k in keys)):
+        args = list(base_args)
+        tag_parts = []
+        for k, v in zip(keys, combo):
+            args += [k, *str(v).split()]
+            tag_parts.append(f"{k.lstrip('-')}-{str(v).replace(' ', '_')}")
+        tag = "_".join(tag_parts) or "base"
+        print(f"[exp] running {tag}", flush=True)
+        r = run_app(args, log_dir, tag, env=env)
+        status = "ok" if r.returncode == 0 else f"rc={r.returncode}"
+        print(f"[exp]   {status} {r.values.get('epoch_time', '-')}s/epoch",
+              flush=True)
+        results.append(r)
+    return results
+
+
+def write_table(results: List[RunResult], columns: List[str],
+                path: str) -> None:
+    """logtable: one row per run, tab-separated (reference table format)."""
+    with open(path, "w") as f:
+        f.write("\t".join(columns) + "\n")
+        for r in results:
+            row = []
+            for c in columns:
+                row.append(r.values.get(c) or r.config.get(c, "X"))
+            f.write("\t".join(row) + "\n")
+    print(f"[exp] wrote {path}")
+
+
+def write_json(results: List[RunResult], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {"config": r.config, "values": r.values, "rc": r.returncode}
+                for r in results
+            ],
+            f, indent=2,
+        )

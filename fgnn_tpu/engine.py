@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants
-from .config import RunConfig, SampleType
+from .config import CachePolicy, RunConfig, SampleType
 from .data.schema import Dataset
 from .models import build_model
 from .ops.extract import device_gather, host_gather, label_gather
@@ -113,6 +113,35 @@ class OneChipEngine:
             base_seed=cfg.seed,
         )
         prof.set_num_step(self.shuffler.num_step)
+
+        # --- feature cache (arch2/3 with GPU cache analog) ----------------
+        # only meaningful when features are host-resident; a presample or
+        # static ranking pins the hot slice in HBM
+        self.cache = None
+        if cfg.use_cache and not self.feat_on_device:
+            sample_fn = jax.jit(
+                lambda k, s, n: self._sample(k, s, n)
+            )
+            if cfg.cache_policy in (
+                CachePolicy.PRESAMPLE, CachePolicy.PRESAMPLE_STATIC
+            ):
+                from .cache.presample import presample_ranking
+
+                ranking = presample_ranking(
+                    sample_fn, self.shuffler, ds.num_node,
+                    presample_epoch=cfg.presample_epoch, seed=cfg.seed,
+                )
+            else:
+                from .cache.policy import build_ranking
+
+                ranking = build_ranking(ds, cfg.cache_policy, cfg.seed)
+            from .cache.manager import FeatureCache
+
+            self.cache = FeatureCache(
+                np.asarray(ds.feat) if not hasattr(ds.feat, "filename")
+                else ds.feat,
+                ranking, cfg.cache_percentage, ds.num_node,
+            )
 
         # --- model ---------------------------------------------------------
         self.dst_caps = tuple(reversed(self.plan.num_input_cap))
@@ -220,7 +249,28 @@ class OneChipEngine:
                 in_nodes = np.asarray(batch.input_nodes)
                 prof.log_step(skey, "L1_sample_time", t.passed())
                 t.reset()
-                feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
+                if self.cache is not None:
+                    # miss/hit split + host gather of misses only
+                    index = self.cache.get_miss_cache_index(batch.input_nodes)
+                    num_miss = int(index.num_miss)
+                    miss = self.cache.host_extract_miss(
+                        np.asarray(index.miss_ids), num_miss
+                    )
+                    feats = self.cache.combine(index, jnp.asarray(miss))
+                    prof.log_step(
+                        skey, "L1_miss_nbytes",
+                        float(num_miss * miss.shape[1] * 4),
+                    )
+                    prof.log_epoch_add(
+                        epoch, "epoch_miss_bytes",
+                        float(num_miss * miss.shape[1] * 4),
+                    )
+                    prof.log_epoch_add(
+                        epoch, "epoch_feature_bytes",
+                        float(len(in_nodes) * miss.shape[1] * 4),
+                    )
+                else:
+                    feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
                 prof.log_step(skey, "L1_copy_time", t.passed())
                 prof.log_step(
                     skey, "L1_feature_bytes",

@@ -1,0 +1,179 @@
+"""Host-sampling engine (arch0 analog).
+
+Reference: CPUEngine (samgraph/common/cpu/cpu_engine.cc) — CPU (OpenMP)
+sampling + GPU training in one process. Here: vectorized NumPy sampling +
+host dedup/renumber, features gathered host-side (native lib when built),
+then one jitted device train step per batch. Useful when the topology does
+not fit HBM, and as an independent cross-check of the on-device sampler.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import RunConfig, SampleType
+from .data.schema import Dataset
+from .models import build_model
+from .ops.extract import host_gather
+from .ops.padding import make_plan
+from .ops.reference_impl import calibrate_caps, np_sample_hop_vec
+from .ops.sampling import Block, SampledBatch
+from .parallel.shuffler import EpochShuffler
+from .train.loop import create_train_state, make_train_step, masked_cross_entropy
+from .utils import Timer, get_logger
+from .utils.profiler import Profiler
+
+log = get_logger(__name__)
+
+
+def np_multi_layer_sample(
+    rng: np.random.Generator,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    seeds_pad: np.ndarray,
+    num_seeds: int,
+    plan,
+    replace: bool = False,
+) -> SampledBatch:
+    """Host-side DoCPUSample analog producing the same padded Task layout
+    as the on-device sampler (cpu_loops.cc:55-192)."""
+    cur = seeds_pad.copy()
+    num_cur = num_seeds
+    blocks_rev: List[Block] = []
+    for hop in range(plan.num_layer):
+        f = plan.fanouts[hop]
+        S = plan.num_input_cap[hop]
+        cap = plan.num_unique_cap[hop]
+        valid_in = cur >= 0
+        nbr = np.full((S, f), -1, dtype=np.int32)
+        if valid_in.any():
+            vs = cur[valid_in].astype(np.int64)
+            got, gv = np_sample_hop_vec(rng, indptr, indices, vs, f, replace)
+            nbr[valid_in] = np.where(gv, got, -1)
+        nbr_flat = nbr.reshape(-1)
+
+        # dedup: seeds-first + new nodes ascending (hashtable invariant)
+        new = np.unique(nbr_flat[nbr_flat >= 0])
+        new = new[~np.isin(new, cur[cur >= 0])]
+        n_new = min(len(new), cap - S)
+        unique = np.full(cap, -1, dtype=np.int32)
+        unique[:S] = cur
+        unique[S : S + n_new] = new[:n_new]
+
+        # remap via dense table
+        table = np.full(int(max(indptr.shape[0], 1)), -1, dtype=np.int32)
+        pos = np.nonzero(unique >= 0)[0]
+        table[unique[pos]] = pos
+        src_local = np.where(nbr_flat >= 0, table[np.maximum(nbr_flat, 0)], -1)
+        dst_local = np.repeat(np.arange(S, dtype=np.int32), f)
+        mask = (src_local >= 0) & (nbr_flat >= 0)
+        blocks_rev.append(
+            Block(
+                src_local=jnp.asarray(np.where(mask, src_local, -1)),
+                dst_local=jnp.asarray(np.where(mask, dst_local, -1)),
+                mask=jnp.asarray(mask),
+                num_src=jnp.int32(num_cur + n_new),
+                num_dst=jnp.int32(num_cur),
+            )
+        )
+        cur = unique
+        num_cur = num_cur + n_new
+
+    return SampledBatch(
+        blocks=tuple(reversed(blocks_rev)),
+        input_nodes=jnp.asarray(cur),
+        num_input=jnp.int32(num_cur),
+        output_nodes=jnp.asarray(seeds_pad[: plan.batch_size]),
+        num_output=jnp.int32(num_seeds),
+        overflowed=jnp.asarray(False),
+    )
+
+
+class HostSamplingEngine:
+    """arch0: NumPy sampling on host, jitted training on the chip."""
+
+    def __init__(self, cfg: RunConfig, ds: Dataset):
+        cfg.validate()
+        assert cfg.sample_type in (
+            SampleType.KHOP0, SampleType.KHOP1, SampleType.KHOP2
+        ), "host engine supports khop sampling"
+        self.cfg = cfg
+        self.ds = ds
+        self.indptr = np.asarray(ds.indptr)
+        self.indices = np.asarray(ds.indices)
+        fan_sampling = list(reversed(cfg.fanout))
+        caps = calibrate_caps(
+            self.indptr, self.indices, np.asarray(ds.train_set),
+            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            replace=(cfg.sample_type == SampleType.KHOP1),
+        )
+        self.plan = make_plan(cfg.batch_size, cfg.fanout, ds.num_node,
+                              unique_caps=caps)
+        self.dst_caps = tuple(reversed(self.plan.num_input_cap))
+        self.shuffler = EpochShuffler(
+            ds.train_set, cfg.batch_size, self.plan.num_input_cap[0],
+            base_seed=cfg.seed,
+        )
+        self.model = build_model(cfg.model, ds.feat_dim, cfg.num_hidden,
+                                 ds.num_class, self.plan.num_layer,
+                                 cfg.dropout)
+        self.label = np.asarray(ds.label)
+        self.rng = np.random.default_rng(cfg.seed)
+
+        seeds0, n0, _ = next(self.shuffler.batches(0))
+        batch0 = np_multi_layer_sample(
+            self.rng, self.indptr, self.indices, seeds0, n0, self.plan,
+            replace=(cfg.sample_type == SampleType.KHOP1),
+        )
+        feats0 = jnp.asarray(host_gather(ds.feat, np.asarray(batch0.input_nodes)))
+        self.state, self.tx = create_train_state(
+            self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
+            self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
+        )
+        step = make_train_step(self.model, self.tx, self.dst_caps,
+                               cfg.batch_size)
+
+        def train_only(state, batch, feats, labels, key):
+            return step(state, batch, feats, labels, key)
+
+        self.train_jit = jax.jit(train_only, donate_argnums=(0,))
+        log.info("HostSamplingEngine (arch0): %d steps/epoch",
+                 self.shuffler.num_step)
+
+    def run_epoch(self, epoch: int) -> dict:
+        cfg = self.cfg
+        t_epoch = Timer()
+        losses, accs = [], []
+        base = jax.random.key(cfg.seed + 99)
+        for seeds, n, step in self.shuffler.batches(epoch):
+            batch = np_multi_layer_sample(
+                self.rng, self.indptr, self.indices, seeds, n, self.plan,
+                replace=(cfg.sample_type == SampleType.KHOP1),
+            )
+            feats = jnp.asarray(
+                host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+            )
+            out = np.asarray(batch.output_nodes)
+            labels = jnp.asarray(
+                np.where(out >= 0, self.label[np.maximum(out, 0)], -1)
+            )
+            key = jax.random.fold_in(base, epoch * self.shuffler.num_step + step)
+            self.state, loss, acc = self.train_jit(
+                self.state, batch, feats, labels, key
+            )
+            losses.append(loss)
+            accs.append(acc)
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        epoch_time = t_epoch.passed()
+        Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.shuffler.num_step,
+        }

@@ -134,9 +134,9 @@ def random_walk_topk(
             cur, num_cur, nbrs, plan.num_unique_cap[hop]
         )
         overflowed = overflowed | ovf
-        dst_local = jnp.repeat(
-            jnp.arange(plan.num_input_cap[hop], dtype=jnp.int32), K
-        )
+        dst_local = jax.lax.broadcasted_iota(
+            jnp.int32, (plan.num_input_cap[hop], K), 0
+        ).reshape(-1)
         mask = valid & (src_local >= 0)
         blocks_rev.append(
             Block(

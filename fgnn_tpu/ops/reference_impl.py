@@ -65,6 +65,46 @@ def np_multi_layer_counts(
     return uniq_counts, edge_counts
 
 
+def np_sample_hop_vec(
+    rng: np.random.Generator,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    seeds: np.ndarray,
+    fanout: int,
+    replace: bool = False,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized hop sampler (cpu_sampling_khop*.cc analog).
+
+    seeds: [n] valid node ids. Returns (nbr [n, fanout] int32 -1-padded,
+    valid mask [n, fanout]). Distribution matches the jax samplers
+    (uniform with/without replacement).
+    """
+    n = len(seeds)
+    off = indptr[seeds]
+    deg = (indptr[seeds + 1] - off).astype(np.int64)
+    if replace:
+        u = rng.random((n, fanout))
+        idx = np.minimum((u * deg[:, None]).astype(np.int64), deg[:, None] - 1)
+        valid = np.broadcast_to((deg > 0)[:, None], idx.shape)
+    else:
+        # vectorized Floyd (mirrors ops.sampling._floyd_without_replacement)
+        u = rng.random((n, fanout))
+        idx = np.full((n, fanout), -1, dtype=np.int64)
+        big = deg >= fanout
+        for j in range(fanout):
+            J = deg - fanout + j
+            t = np.minimum((u[:, j] * (J + 1)).astype(np.int64), J)
+            if j > 0:
+                coll = (idx[:, :j] == t[:, None]).any(axis=1)
+                t = np.where(coll, J, t)
+            small = np.where(j < deg, j, -1)
+            idx[:, j] = np.where(big, t, small)
+        valid = idx >= 0
+    flat = off[:, None] + np.maximum(idx, 0)
+    nbr = indices[np.minimum(flat, len(indices) - 1)].astype(np.int32)
+    return np.where(valid, nbr, -1), valid
+
+
 def calibrate_caps(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -78,11 +118,16 @@ def calibrate_caps(
     """Max observed per-hop unique counts over a few random batches."""
     rng = np.random.default_rng(seed)
     caps = [0] * len(fanouts_sampling_order)
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
     for _ in range(num_probe):
         seeds = rng.choice(train_set, size=min(batch_size, len(train_set)),
                            replace=False)
-        u, _ = np_multi_layer_counts(
-            rng, indptr, indices, seeds, fanouts_sampling_order, replace
-        )
-        caps = [max(a, b) for a, b in zip(caps, u)]
+        cur = np.unique(seeds)
+        for l, f in enumerate(fanouts_sampling_order):
+            nbr, valid = np_sample_hop_vec(rng, indptr, indices, cur, f,
+                                           replace)
+            uniq = np.union1d(cur, nbr[valid])
+            caps[l] = max(caps[l], len(uniq))
+            cur = uniq
     return caps

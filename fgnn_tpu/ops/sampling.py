@@ -105,17 +105,27 @@ def _floyd_without_replacement(
     """
     n = deg.shape[0]
     u = jax.random.uniform(key, (n, fanout))
-    picks = jnp.full((n, fanout), -1, dtype=jnp.int32)
     big = deg >= fanout
-    for j in range(fanout):
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, fanout), 1)
+
+    # rolled loop (fori_loop, not Python unroll): keeps the compiled
+    # program O(1) in fanout — the unrolled version compiled to ~f^2 ops
+    # and blew up XLA compile time at fanout 25
+    def body(j, picks):
         J = deg - fanout + j                       # >= 0 when big
-        t = jnp.floor(u[:, j] * (J + 1).astype(u.dtype)).astype(jnp.int32)
-        t = jnp.minimum(t, J)
-        if j > 0:
-            collided = jnp.any(picks[:, :j] == t[:, None], axis=1)
-            t = jnp.where(collided, J, t)
+        uj = jax.lax.dynamic_slice_in_dim(u, j, 1, axis=1)[:, 0]
+        t = jnp.minimum(
+            jnp.floor(uj * (J + 1).astype(u.dtype)).astype(jnp.int32), J
+        )
+        collided = jnp.any((picks == t[:, None]) & (col < j), axis=1)
+        t = jnp.where(collided, J, t)
         small_pick = jnp.where(j < deg, j, -1)     # deg < fanout: take all
-        picks = picks.at[:, j].set(jnp.where(big, t, small_pick))
+        val = jnp.where(big, t, small_pick)
+        return jnp.where(col == j, val[:, None], picks)
+
+    picks = jax.lax.fori_loop(
+        0, fanout, body, jnp.full((n, fanout), -1, dtype=jnp.int32)
+    )
     valid = picks >= 0
     return picks, valid
 
@@ -271,9 +281,11 @@ def multi_layer_sample(
         )
         overflowed = overflowed | ovf
 
-        dst_local = jnp.repeat(
-            jnp.arange(plan.num_input_cap[hop], dtype=jnp.int32), fanout
-        )
+        # lazy iota, NOT jnp.repeat(arange(...)) — a concrete repeat bakes a
+        # multi-MB constant into the executable and wrecks compile time
+        dst_local = jax.lax.broadcasted_iota(
+            jnp.int32, (plan.num_input_cap[hop], fanout), 0
+        ).reshape(-1)
         mask = valid & (src_local >= 0)
         blocks_rev.append(
             Block(

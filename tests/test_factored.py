@@ -33,7 +33,9 @@ def test_factored_engine_runs(ds):
 
 def test_factored_with_presample_cache(ds):
     from fgnn_tpu.parallel.factored import FactoredEngine
+    from fgnn_tpu.utils.profiler import Profiler
 
+    Profiler.reset()
     cfg = RunConfig(
         model="graphsage", fanout=(4, 4), batch_size=64, num_hidden=32,
         sample_type=SampleType.KHOP0, dropout=0.0,
