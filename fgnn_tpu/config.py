@@ -171,6 +171,8 @@ class RunConfig:
                 raise KeyError(f"unknown config key: {k}")
             f = fields[k]
             if f.name == "arch":
+                if isinstance(v, str) and v.lower().startswith("arch"):
+                    v = v[4:]           # "arch5" → 5 (builtin arch table names)
                 v = RunArch(int(v)) if not isinstance(v, RunArch) else v
             elif f.name == "sample_type":
                 v = SampleType(v) if not isinstance(v, SampleType) else v

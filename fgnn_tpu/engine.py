@@ -118,7 +118,19 @@ class OneChipEngine:
         # only meaningful when features are host-resident; a presample or
         # static ranking pins the hot slice in HBM
         self.cache = None
-        if cfg.use_cache and not self.feat_on_device:
+        self.dyn_cache = None
+        if cfg.use_cache and not self.feat_on_device and (
+            cfg.cache_policy == CachePolicy.DYNAMIC_CACHE
+        ):
+            # arch4: cache replaced per step with the previous batch
+            from .cache.dynamic import DynamicFeatureCache
+
+            self.dyn_cache = DynamicFeatureCache(
+                np.asarray(ds.feat) if not hasattr(ds.feat, "filename")
+                else ds.feat,
+                self.plan.final_input_cap,
+            )
+        elif cfg.use_cache and not self.feat_on_device:
             sample_fn = jax.jit(
                 lambda k, s, n: self._sample(k, s, n)
             )
@@ -249,7 +261,20 @@ class OneChipEngine:
                 in_nodes = np.asarray(batch.input_nodes)
                 prof.log_step(skey, "L1_sample_time", t.passed())
                 t.reset()
-                if self.cache is not None:
+                if self.dyn_cache is not None:
+                    feats = self.dyn_cache.extract(batch.input_nodes)
+                    prof.log_epoch_add(
+                        epoch, "epoch_miss_bytes",
+                        float(self.dyn_cache.last_num_miss
+                              * self.ds.feat.shape[1] * 4),
+                    )
+                    prof.log_epoch_add(
+                        epoch, "epoch_feature_bytes",
+                        float((self.dyn_cache.last_num_miss
+                               + self.dyn_cache.last_num_hit)
+                              * self.ds.feat.shape[1] * 4),
+                    )
+                elif self.cache is not None:
                     # miss/hit split + host gather of misses only
                     index = self.cache.get_miss_cache_index(batch.input_nodes)
                     num_miss = int(index.num_miss)
