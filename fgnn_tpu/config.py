@@ -117,6 +117,16 @@ class RunConfig:
     max_sampling_jobs: int = 10
     max_copying_jobs: int = 10
 
+    # balance switcher (arch5 + switcher role, balance_switcher apps):
+    # idle sampler chips join training for the tail of each epoch
+    have_switcher: bool = False
+    switch_cache_percentage: float = 0.0
+
+    # async data-parallel training (async/train_graphsage.py analog):
+    # trainers step local replicas, averaging every `async_sync_every` steps
+    async_train: bool = False
+    async_sync_every: int = 1
+
     # precision
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"

@@ -127,6 +127,12 @@ class _EngineBase:
 class FactoredEngine(_EngineBase):
     """arch5: S sampler chips + T trainer chips."""
 
+    # phase-1 training pace: how many T-wide groups to consume per drained
+    # sample wave. None = greedy (plain arch5). The switcher sets 1 so the
+    # backlog that would sit in the reference's global queue flows to the
+    # enlarged tail group instead.
+    max_groups_per_drain = None
+
     def __init__(
         self,
         cfg: RunConfig,
@@ -206,19 +212,38 @@ class FactoredEngine(_EngineBase):
         self.state = jax.device_put(state, repl_t)
 
         # --- the DP train wave -------------------------------------------
+        self.train_wave = self._make_train_wave(repl_t, shard_t, self.label_t)
+        prof.log_init("init_other", t0.passed())
+        log.info(
+            "FactoredEngine: %d samplers + %d trainers, %d steps/epoch, "
+            "cache=%s feat_on_trainer=%s",
+            S, T, self.num_step,
+            f"{cfg.cache_percentage:.0%}" if self.cache else "off",
+            feat_on_trainer,
+        )
+
+    # ------------------------------------------------------------------
+    def _make_train_wave(self, repl, shard, label_table):
+        """Build the jitted data-parallel train wave for a trainer group.
+
+        batches/feats/keys have a leading group dim sharded over 'data';
+        the mean over that axis gives DDP-style grad all-reduce
+        (train_gcn.py:223-242 analog, psum over ICI instead of NCCL).
+        Parametrized by shardings so the switcher can build a second wave
+        over the enlarged sampler+trainer mesh.
+        """
+        cfg = self.cfg
         B = cfg.batch_size
         model, dst_caps = self.model, self.dst_caps
 
         def train_wave(state, batches, feats, keys):
-            # batches/feats/keys have leading dim T, sharded over 'data';
-            # the mean over that axis gives DDP-style grad all-reduce.
             def loss_fn(params):
                 def one(batch, f, k):
                     logits = model.apply(
                         {"params": params}, batch, f, dst_caps,
                         deterministic=False, rngs={"dropout": k},
                     )
-                    labels = label_gather(self.label_t, batch.output_nodes)
+                    labels = label_gather(label_table, batch.output_nodes)
                     l, a = masked_cross_entropy(logits[:B], labels[:B])
                     w = (batch.num_output > 0).astype(jnp.float32)
                     return l * w, a * w, w
@@ -241,22 +266,13 @@ class FactoredEngine(_EngineBase):
                 acc,
             )
 
-        self.train_wave = jax.jit(
+        return jax.jit(
             train_wave,
-            in_shardings=(repl_t, shard_t, shard_t, shard_t),
-            out_shardings=(repl_t, repl_t, repl_t),
+            in_shardings=(repl, shard, shard, shard),
+            out_shardings=(repl, repl, repl),
             donate_argnums=(0,),
         )
-        prof.log_init("init_other", t0.passed())
-        log.info(
-            "FactoredEngine: %d samplers + %d trainers, %d steps/epoch, "
-            "cache=%s feat_on_trainer=%s",
-            S, T, self.num_step,
-            f"{cfg.cache_percentage:.0%}" if self.cache else "off",
-            feat_on_trainer,
-        )
 
-    # ------------------------------------------------------------------
     def _feats_for(self, batch_t):
         """Feature extraction on the trainer side for one batch (already on
         trainer mesh)."""
@@ -334,38 +350,30 @@ class FactoredEngine(_EngineBase):
             group = []
             while pending_batches and len(group) < T:
                 group.append(pending_batches.popleft())
-            # partial final group: pad by repeating (dummy repeats carry
-            # weight w>0 — dedup by zeroing their loss weight would double
-            # count; repeating a real batch only reweights it slightly,
-            # matching the reference's aligned-step padding semantics)
-            while len(group) < T:
-                group.append(group[0])
-            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-            feats = jnp.stack([self._feats_for(b) for b in group])
-            # shard the group over the trainer 'data' axis (committed args
-            # must match the jit's in_shardings exactly)
-            stacked = jax.device_put(stacked, shard_t)
-            feats = jax.device_put(feats, shard_t)
-            keys = jax.random.split(
-                jax.random.fold_in(base, 0xD0 + len(losses)), T
-            )
-            self.state, loss, acc = self.train_wave(
-                self.state, stacked, feats, keys
+            key = jax.random.fold_in(base, 0xD0 + len(losses))
+            self.state, loss, acc = self._run_group(
+                self.state, group, self.train_wave, shard_t, T, key
             )
             losses.append(loss)
             accs.append(acc)
 
         depth = max(1, cfg.max_copying_jobs)
         more = True
-        while more or in_flight or pending_batches:
+        while more or in_flight:
             while more and len(in_flight) < depth:
                 more = launch_wave()
             if in_flight:
                 drain_wave()
-            while len(pending_batches) >= T:
+            groups = 0
+            while len(pending_batches) >= T and (
+                self.max_groups_per_drain is None
+                or groups < self.max_groups_per_drain
+            ):
                 train_group()
-            if not more and not in_flight and pending_batches:
-                train_group()  # final partial group (padded by repeat)
+                groups += 1
+        # tail phase: sampling is finished, sampler chips idle — the
+        # switcher subclass enlarges the trainer group here
+        self._train_tail(pending_batches, base, losses, accs)
 
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
@@ -378,6 +386,42 @@ class FactoredEngine(_EngineBase):
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.num_step,
         }
+
+    def _run_group(self, state, group, wave, shard, group_size, key):
+        """Pad a batch group to `group_size`, shard it over the wave's
+        'data' axis, and run one train wave.
+
+        Partial groups pad by repeating (dummy repeats carry weight w>0 —
+        zeroing their loss weight would undercount; repeating a real batch
+        only reweights it slightly, matching the reference's aligned-step
+        padding semantics)."""
+        assert group, "empty train group"
+        group = list(group)
+        while len(group) < group_size:
+            group.append(group[0])
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+        feats = jnp.stack([self._feats_for(b) for b in group])
+        # committed args must match the jit's in_shardings exactly
+        stacked = jax.device_put(stacked, shard)
+        feats = jax.device_put(feats, shard)
+        keys = jax.random.split(key, group_size)
+        return wave(state, stacked, feats, keys)
+
+    def _train_tail(self, pending_batches, base, losses, accs):
+        """Train whatever remains after sampling finished; the plain
+        factored engine keeps the T-wide trainer group."""
+        T = self.roles.num_trainer
+        shard_t = self.roles.trainer_sharding
+        while pending_batches:
+            group = []
+            while pending_batches and len(group) < T:
+                group.append(pending_batches.popleft())
+            key = jax.random.fold_in(base, 0xD0 + len(losses))
+            self.state, loss, acc = self._run_group(
+                self.state, group, self.train_wave, shard_t, T, key
+            )
+            losses.append(loss)
+            accs.append(acc)
 
 
 class SGNNEngine(_EngineBase):

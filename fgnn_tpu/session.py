@@ -84,10 +84,15 @@ class _Session:
     def train_init(self, worker_id: int = 0, ctx: Optional[str] = None) -> None:
         self._ensure_engine()
 
-    def switch_init(self, worker_id: int, ctx: str,
-                    cache_percentage: float) -> None:
-        raise NotImplementedError(
-            "dynamic switcher lands with the balance_switcher app"
+    def switch_init(self, worker_id: int = 0, ctx: Optional[str] = None,
+                    cache_percentage: float = 0.0) -> None:
+        """Register the balance switcher (samgraph_switch_init analog,
+        operation.cc:357-362): must run before the engine is built; the
+        epoch tail then trains on sampler+trainer chips."""
+        assert self.engine is None, "switch_init must precede sample/train use"
+        assert self.cfg is not None, "call config() first"
+        self.cfg = self.cfg.replace(
+            have_switcher=True, switch_cache_percentage=cache_percentage
         )
 
     def _ensure_engine(self):
@@ -96,9 +101,18 @@ class _Session:
         cfg, ds = self.cfg, self.ds
         assert ds is not None, "call data_init() first"
         if cfg.arch == RunArch.ARCH5:
-            from .parallel.factored import FactoredEngine
+            if cfg.have_switcher:
+                from .parallel.switcher import SwitcherEngine
 
-            self.engine = FactoredEngine(cfg, ds)
+                self.engine = SwitcherEngine(cfg, ds)
+            elif cfg.async_train:
+                from .parallel.async_dp import AsyncFactoredEngine
+
+                self.engine = AsyncFactoredEngine(cfg, ds)
+            else:
+                from .parallel.factored import FactoredEngine
+
+                self.engine = FactoredEngine(cfg, ds)
         elif cfg.arch == RunArch.ARCH6:
             from .parallel.factored import SGNNEngine
 
