@@ -8,7 +8,17 @@ surface (--dataset, --arch, --cache-policy, ...), the same
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+import jax
+
+# Honor JAX_PLATFORMS for spawned app processes: the environment preloads
+# jax (and the TPU plugin) at interpreter startup, so the env var alone is
+# captured too late — config.update is the reliable override.
+_plat = os.environ.get("JAX_PLATFORMS")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
 
 from fgnn_tpu.config import CachePolicy, RunArch, RunConfig, SampleType
 from fgnn_tpu.utils.logging import log_config
@@ -45,6 +55,12 @@ def add_common_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--validate-configs", action="store_true")
     p.add_argument("--report-acc", type=int, default=0,
                    help="evaluate test acc every N epochs (0=off)")
+    # balance switcher (balance_switcher/train_pinsage.py analog)
+    p.add_argument("--have-switcher", action="store_true")
+    p.add_argument("--switch-cache-percentage", type=float, default=0.0)
+    # async trainers (multi_gpu/async/train_graphsage.py analog)
+    p.add_argument("--async-train", action="store_true")
+    p.add_argument("--async-sync-every", type=int, default=1)
 
 
 def build_run_config(args, model: str, default_sample: str) -> RunConfig:
@@ -73,6 +89,10 @@ def build_run_config(args, model: str, default_sample: str) -> RunConfig:
         num_neighbor=args.num_neighbor,
         num_layer_rw=args.num_layer,
         seed=args.seed,
+        have_switcher=getattr(args, "have_switcher", False),
+        switch_cache_percentage=getattr(args, "switch_cache_percentage", 0.0),
+        async_train=getattr(args, "async_train", False),
+        async_sync_every=getattr(args, "async_sync_every", 1),
     ).validate()
     return cfg
 

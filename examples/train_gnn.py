@@ -54,9 +54,18 @@ def main():
 
     t_init = time.time()
     if cfg.arch == RunArch.ARCH5:
-        from fgnn_tpu.parallel.factored import FactoredEngine
+        if cfg.have_switcher:
+            from fgnn_tpu.parallel.switcher import SwitcherEngine
 
-        eng = FactoredEngine(cfg, ds)
+            eng = SwitcherEngine(cfg, ds)
+        elif cfg.async_train:
+            from fgnn_tpu.parallel.async_dp import AsyncFactoredEngine
+
+            eng = AsyncFactoredEngine(cfg, ds)
+        else:
+            from fgnn_tpu.parallel.factored import FactoredEngine
+
+            eng = FactoredEngine(cfg, ds)
     elif cfg.arch == RunArch.ARCH6:
         from fgnn_tpu.parallel.factored import SGNNEngine
 

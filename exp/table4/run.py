@@ -25,6 +25,7 @@ def main():
     p.add_argument("--num-epoch", type=int, default=4)
     p.add_argument("--num-workers", type=int, default=8,
                    help="total chips (arch5 splits S+T, arch6 uses all)")
+    p.add_argument("--batch-size", type=int, default=8000)
     p.add_argument("--models", nargs="+",
                    default=["gcn", "graphsage", "pinsage"])
     p.add_argument("--cpu-mesh", action="store_true",
@@ -51,6 +52,7 @@ def main():
                 "--dataset", args.dataset,
                 "--synthetic-nodes", str(args.synthetic_nodes),
                 "--num-epoch", str(args.num_epoch),
+                "--batch-size", str(args.batch_size),
                 "--fanout", "5", "10", "15",
             ] + workers
             r = run_app(app, os.path.join(HERE, "run-logs"),

@@ -1,0 +1,71 @@
+"""Table 5 analog: FGNN sampler/trainer split sweep + switcher.
+
+Reference: exp/table5 — FGNN epoch time as the 8 GPUs are split into
+1S+7T ... 3S+5T, vs SGNN 8-worker, showing the factored design's
+flexibility; the balance switcher recovers idle-sampler time.
+
+Usage: python exp/table5/run.py [--cpu-mesh] [--num-epoch 4]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from exp.common.runner import run_app, write_json, write_table
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--synthetic-nodes", type=int, default=200_000)
+    p.add_argument("--num-epoch", type=int, default=4)
+    p.add_argument("--model", default="graphsage")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--cpu-mesh", action="store_true")
+    args = p.parse_args()
+
+    env = {}
+    if args.cpu_mesh:
+        env = {
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count="
+                         f"{args.num_workers}",
+        }
+
+    n = args.num_workers
+    configs = []
+    for s in (1, 2, 3):
+        if s < n:
+            configs.append((f"{s}S+{n-s}T", ["--num-sample-worker", str(s),
+                                             "--num-train-worker", str(n - s)]))
+    configs.append((f"2S+{n-2}T+switch",
+                    ["--num-sample-worker", "2",
+                     "--num-train-worker", str(n - 2), "--have-switcher"]))
+
+    results = []
+    for tag, workers in configs:
+        app = [
+            "examples/train_gnn.py", "--model", args.model, "--arch", "arch5",
+            "--dataset", args.dataset,
+            "--synthetic-nodes", str(args.synthetic_nodes),
+            "--num-epoch", str(args.num_epoch),
+            "--batch-size", str(args.batch_size),
+            "--fanout", "5", "10", "15",
+        ] + workers
+        r = run_app(app, os.path.join(HERE, "run-logs"), tag.replace("+", "_"),
+                    env=env)
+        r.config["split"] = tag
+        results.append(r)
+
+    write_table(results, ["split", "epoch_time", "sample_time", "train_time"],
+                os.path.join(HERE, "table5.dat"))
+    write_json(results, os.path.join(HERE, "table5.json"))
+
+
+if __name__ == "__main__":
+    main()

@@ -131,9 +131,8 @@ class OneChipEngine:
                 self.plan.final_input_cap,
             )
         elif cfg.use_cache and not self.feat_on_device:
-            sample_fn = jax.jit(
-                lambda k, s, n: self._sample(k, s, n)
-            )
+            _sg = jax.jit(lambda g, k, s, n: self._sample(g, k, s, n))
+            sample_fn = lambda k, s, n: _sg(self.graph, k, s, n)
             if cfg.cache_policy in (
                 CachePolicy.PRESAMPLE, CachePolicy.PRESAMPLE_STATIC
             ):
@@ -165,27 +164,34 @@ class OneChipEngine:
         prof.log_init("init_other", t.passed())
 
     # ------------------------------------------------------------------
-    def _sample(self, key, seeds, num_seeds) -> SampledBatch:
+    def _sample(self, graph, key, seeds, num_seeds) -> SampledBatch:
+        """Sampling body. `graph` is threaded through as a jit ARGUMENT —
+        closing over the device-resident CSR would embed it as an HLO
+        constant and blow the program size past compile-service limits."""
         cfg = self.cfg
         if cfg.sample_type == SampleType.RANDOM_WALK:
             return random_walk_topk(
-                key, self.graph, seeds, num_seeds, self.plan,
+                key, graph, seeds, num_seeds, self.plan,
                 num_random_walk=cfg.num_random_walk,
                 random_walk_length=cfg.random_walk_length,
                 restart_prob=cfg.random_walk_restart_prob,
             )
         return multi_layer_sample(
-            key, self.graph, seeds, num_seeds, self.plan, cfg.sample_type
+            key, graph, seeds, num_seeds, self.plan, cfg.sample_type
         )
 
     def _build_fns(self):
         cfg = self.cfg
         plan = self.plan
 
-        def sample_only(key, seeds, num_seeds):
-            return self._sample(key, seeds, num_seeds)
-
-        self.sample_jit = jax.jit(sample_only)
+        # big tables (graph/feat/label) enter every jitted fn as runtime
+        # arguments, never closure constants — see _sample docstring
+        self._sample_g = jax.jit(
+            lambda graph, key, seeds, n: self._sample(graph, key, seeds, n)
+        )
+        self.sample_jit = lambda key, seeds, n: self._sample_g(
+            self.graph, key, seeds, n
+        )
 
         # init model params with one (cheap, any-key) sample
         seeds0, n0, _ = next(self.shuffler.batches(0))
@@ -209,10 +215,10 @@ class OneChipEngine:
         )
 
         if self.feat_on_device:
-            def fused_step(state, key, seeds, num_seeds):
-                batch = self._sample(key, seeds, num_seeds)
-                feats = device_gather(self.feat_dev, batch.input_nodes)
-                labels = label_gather(self.label_dev, batch.output_nodes)
+            def fused_step(state, graph, feat, label, key, seeds, num_seeds):
+                batch = self._sample(graph, key, seeds, num_seeds)
+                feats = device_gather(feat, batch.input_nodes)
+                labels = label_gather(label, batch.output_nodes)
                 k_drop = jax.random.fold_in(key, 0x5eed)
                 new_state, loss, acc = train_step(
                     state, batch, feats, labels, k_drop
@@ -222,16 +228,23 @@ class OneChipEngine:
                 )
                 return new_state, loss, acc, n_edges, batch.overflowed
 
-            self.fused_step = jax.jit(fused_step, donate_argnums=(0,))
+            self._fused_g = jax.jit(fused_step, donate_argnums=(0,))
+            self.fused_step = lambda state, key, seeds, n: self._fused_g(
+                state, self.graph, self.feat_dev, self.label_dev,
+                key, seeds, n,
+            )
             self.train_jit = None
         else:
-            def train_only(state, key, batch, feats):
-                labels = label_gather(self.label_dev, batch.output_nodes)
+            def train_only(state, label, key, batch, feats):
+                labels = label_gather(label, batch.output_nodes)
                 k_drop = jax.random.fold_in(key, 0x5eed)
                 new_state, loss, acc = train_step(state, batch, feats, labels, k_drop)
                 return new_state, loss, acc
 
-            self.train_jit = jax.jit(train_only, donate_argnums=(0,))
+            self._train_g = jax.jit(train_only, donate_argnums=(0,))
+            self.train_jit = lambda state, key, batch, feats: self._train_g(
+                state, self.label_dev, key, batch, feats
+            )
             self.fused_step = None
 
     # ------------------------------------------------------------------

@@ -80,9 +80,9 @@ class AsyncFactoredEngine(FactoredEngine):
         cfg = self.cfg
         B = cfg.batch_size
         model, dst_caps = self.model, self.dst_caps
-        label_table = self.label_t
 
-        def wave(states, batches, feats, keys):
+        def wave(states, label_table, batches, feats, keys):
+            # label table is a jit argument (HLO-constant size)
             def one(state, batch, f, k):
                 def loss_fn(params):
                     logits = model.apply(
@@ -114,11 +114,14 @@ class AsyncFactoredEngine(FactoredEngine):
             return new_states, losses.mean(), accs.mean()
 
         repl = self.roles.trainer_replicated
-        return jax.jit(
+        wave_g = jax.jit(
             wave,
-            in_shardings=(shard, shard, shard, shard),
+            in_shardings=(shard, repl, shard, shard, shard),
             out_shardings=(shard, repl, repl),
             donate_argnums=(0,),
+        )
+        return lambda states, batches, feats, keys: wave_g(
+            states, self.label_t, batches, feats, keys
         )
 
     def _run_group(self, state, group, wave, shard, group_size, key):

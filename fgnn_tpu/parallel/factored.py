@@ -37,7 +37,11 @@ from ..ops.random_walk import random_walk_topk
 from ..ops.reference_impl import calibrate_caps
 from ..ops.sampling import CSRGraph, multi_layer_sample
 from ..parallel.mesh import RoleMesh, make_data_mesh, make_role_mesh
-from ..parallel.shuffler import AlignedDistShuffler, DistShuffler
+from ..parallel.shuffler import (
+    AlignedDistShuffler,
+    DistShuffler,
+    EpochShuffler,
+)
 from ..train.loop import TrainState, create_train_state, masked_cross_entropy
 from ..utils import Timer, get_logger
 from ..utils.profiler import Profiler
@@ -150,18 +154,23 @@ class FactoredEngine(_EngineBase):
         # --- sampler side (SampleInit analog, dist_engine.cc:231-364) ----
         self.graph_s = _put_graph(ds, cfg, self.roles.sampler_replicated)
 
-        def sample_wave(keys, seeds, nums):
-            # vmapped over the sampler axis: one batch per sampler chip
+        def sample_wave(graph, keys, seeds, nums):
+            # vmapped over the sampler axis: one batch per sampler chip.
+            # `graph` is a jit ARGUMENT — closing over the device CSR
+            # would embed it as an HLO constant (compile-size blowup).
             return jax.vmap(
-                lambda k, s, n: self._sample_one(self.graph_s, k, s, n)
+                lambda k, s, n: self._sample_one(graph, k, s, n)
             )(keys, seeds, nums)
 
         shard_s = self.roles.sampler_sharding
         repl_s = self.roles.sampler_replicated
-        self.sample_wave = jax.jit(
+        self._sample_wave_g = jax.jit(
             sample_wave,
-            in_shardings=(shard_s, shard_s, shard_s),
+            in_shardings=(repl_s, shard_s, shard_s, shard_s),
             out_shardings=shard_s,
+        )
+        self.sample_wave = lambda keys, seeds, nums: self._sample_wave_g(
+            self.graph_s, keys, seeds, nums
         )
 
         # shufflers: contiguous step ranges per sampler (dist_shuffler.cc)
@@ -175,11 +184,15 @@ class FactoredEngine(_EngineBase):
         prof.set_num_step(self.num_step)
 
         # presample runs on sampler chip 0 before trainers init
-        # (dist_engine.cc:323-344 ordering)
-        single_sample = jax.jit(
-            lambda k, s, n: self._sample_one(self.graph_s, k, s, n)
+        # (dist_engine.cc:323-344 ordering), with its OWN full-train-set
+        # shuffler (dist/pre_sampler.cc:39-53) — worker 0's step range can
+        # be empty when steps < samplers
+        _ss = jax.jit(lambda g, k, s, n: self._sample_one(g, k, s, n))
+        single_sample = lambda k, s, n: _ss(self.graph_s, k, s, n)
+        boot_shuffler = EpochShuffler(
+            ds.train_set, cfg.batch_size, seed_cap, base_seed=cfg.seed
         )
-        self.cache = self._build_cache(single_sample, self.shufflers[0])
+        self.cache = self._build_cache(single_sample, boot_shuffler)
 
         # --- trainer side (TrainInit analog, dist_engine.cc:366-465) -----
         feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * 4
@@ -201,12 +214,12 @@ class FactoredEngine(_EngineBase):
         # init params on trainer mesh
         self._cur_epoch = 0
         k0 = jax.random.key(cfg.seed)
-        seeds0, n0, _ = next(self.shufflers[0].batches(0))
+        seeds0, n0, _ = next(boot_shuffler.batches(0))
         batch0 = single_sample(k0, jnp.asarray(seeds0), jnp.int32(n0))
         batch0_t = jax.device_put(batch0, repl_t)
         feats0 = self._feats_for(batch0_t)
         state, self.tx = create_train_state(
-            self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
+            self.model, jax.random.key(cfg.seed + 1), batch0_t, feats0,
             self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
         )
         self.state = jax.device_put(state, repl_t)
@@ -230,20 +243,21 @@ class FactoredEngine(_EngineBase):
         the mean over that axis gives DDP-style grad all-reduce
         (train_gcn.py:223-242 analog, psum over ICI instead of NCCL).
         Parametrized by shardings so the switcher can build a second wave
-        over the enlarged sampler+trainer mesh.
+        over the enlarged sampler+trainer mesh. The label table enters as
+        a jit argument (not a closure constant — HLO size).
         """
         cfg = self.cfg
         B = cfg.batch_size
         model, dst_caps = self.model, self.dst_caps
 
-        def train_wave(state, batches, feats, keys):
+        def train_wave(state, label_tab, batches, feats, keys):
             def loss_fn(params):
                 def one(batch, f, k):
                     logits = model.apply(
                         {"params": params}, batch, f, dst_caps,
                         deterministic=False, rngs={"dropout": k},
                     )
-                    labels = label_gather(label_table, batch.output_nodes)
+                    labels = label_gather(label_tab, batch.output_nodes)
                     l, a = masked_cross_entropy(logits[:B], labels[:B])
                     w = (batch.num_output > 0).astype(jnp.float32)
                     return l * w, a * w, w
@@ -266,11 +280,14 @@ class FactoredEngine(_EngineBase):
                 acc,
             )
 
-        return jax.jit(
+        wave_g = jax.jit(
             train_wave,
-            in_shardings=(repl, shard, shard, shard),
+            in_shardings=(repl, repl, shard, shard, shard),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0,),
+        )
+        return lambda state, batches, feats, keys: wave_g(
+            state, label_table, batches, feats, keys
         )
 
     def _feats_for(self, batch_t):
@@ -451,9 +468,8 @@ class SGNNEngine(_EngineBase):
         Profiler.get().set_num_step(self.num_local_step * W)
 
         # init
-        single_sample = jax.jit(
-            lambda k, s, n: self._sample_one(self.graph, k, s, n)
-        )
+        _ss = jax.jit(lambda g, k, s, n: self._sample_one(g, k, s, n))
+        single_sample = lambda k, s, n: _ss(self.graph, k, s, n)
         seeds0, n0, _ = next(self.shufflers[0].batches(0))
         batch0 = single_sample(
             jax.random.key(cfg.seed), jnp.asarray(seeds0), jnp.int32(n0)
@@ -468,12 +484,14 @@ class SGNNEngine(_EngineBase):
         B = cfg.batch_size
         model, dst_caps = self.model, self.dst_caps
 
-        def fused_wave(state, keys, seeds, nums):
+        def fused_wave(state, graph, feat, label, keys, seeds, nums):
+            # graph/feat/label are jit ARGUMENTS (HLO-constant blowup
+            # otherwise — the feature matrix alone is 100s of MB)
             def loss_fn(params):
                 def one(k, s, n):
-                    batch = self._sample_one(self.graph, k, s, n)
-                    feats = device_gather(self.feat_dev, batch.input_nodes)
-                    labels = label_gather(self.label_dev, batch.output_nodes)
+                    batch = self._sample_one(graph, k, s, n)
+                    feats = device_gather(feat, batch.input_nodes)
+                    labels = label_gather(label, batch.output_nodes)
                     logits = model.apply(
                         {"params": params}, batch, feats, dst_caps,
                         deterministic=False,
@@ -499,11 +517,15 @@ class SGNNEngine(_EngineBase):
                 acc,
             )
 
-        self.fused_wave = jax.jit(
+        self._fused_wave_g = jax.jit(
             fused_wave,
-            in_shardings=(repl, shard, shard, shard),
+            in_shardings=(repl, repl, repl, repl, shard, shard, shard),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0,),
+        )
+        self.fused_wave = lambda state, keys, seeds, nums: self._fused_wave_g(
+            state, self.graph, self.feat_dev, self.label_dev,
+            keys, seeds, nums,
         )
         log.info("SGNNEngine: %d workers, %d local steps/epoch", W,
                  self.num_local_step)

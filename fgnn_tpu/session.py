@@ -189,6 +189,23 @@ class _Session:
     def get_graph_num_dst(self, batch_key: int, layer: int) -> int:
         return int(self._batches[batch_key].blocks[layer].num_dst)
 
+    # -- arch7-style accessors (sgnn_dgl apps): the framework samples,
+    # the APP extracts features itself via load_subtensor
+    # (torch/adapter.py:170-179 analog) --------------------------------
+    def get_graph_input_nodes(self, batch_key: int):
+        return self._batches[batch_key].input_nodes
+
+    def get_graph_output_nodes(self, batch_key: int):
+        return self._batches[batch_key].output_nodes
+
+    @staticmethod
+    def load_subtensor(feat, input_nodes):
+        """App-side feature extraction (adapter.py:170-179): gather rows
+        of `feat` (device array OR host/mmap ndarray) for the batch."""
+        if isinstance(feat, np.ndarray):
+            return jnp.asarray(host_gather(feat, np.asarray(input_nodes)))
+        return device_gather(feat, input_nodes)
+
     def release_batch(self, batch_key: int) -> None:
         self._batches.pop(batch_key, None)
 
@@ -238,6 +255,9 @@ get_next_batch = _session.get_next_batch
 get_blocks = _session.get_blocks
 get_graph_num_src = _session.get_graph_num_src
 get_graph_num_dst = _session.get_graph_num_dst
+get_graph_input_nodes = _session.get_graph_input_nodes
+get_graph_output_nodes = _session.get_graph_output_nodes
+load_subtensor = _session.load_subtensor
 release_batch = _session.release_batch
 num_class = _session.num_class
 feat_dim = _session.feat_dim
