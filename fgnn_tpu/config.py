@@ -131,6 +131,11 @@ class RunConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
 
+    # checkpoint/resume (idiomatic upgrade — the reference has none,
+    # SURVEY.md §5.4; orbax-backed)
+    ckpt_dir: Optional[str] = None
+    ckpt_every: int = 0          # save every N epochs; 0 = off
+
     # misc / observability
     barriered_epoch: int = 0
     profile_level: int = 1

@@ -154,6 +154,14 @@ class OneChipEngine:
                 ranking, cfg.cache_percentage, ds.num_node,
             )
 
+        # --- opt-in runtime sanity checks (SAMGRAPH_SANITY_CHECK analog) --
+        from .config import env_flag
+        self.sanity = None
+        if cfg.sanity_check or env_flag(constants.ENV_SANITY_CHECK):
+            from .ops.sanity import EpochSanityChecker
+
+            self.sanity = EpochSanityChecker(ds.num_node)
+
         # --- model ---------------------------------------------------------
         self.dst_caps = tuple(reversed(self.plan.num_input_cap))
         self.model = build_model(
@@ -161,6 +169,19 @@ class OneChipEngine:
             self.plan.num_layer, cfg.dropout,
         )
         self._build_fns()
+
+        # --- checkpoint/resume (orbax; reference has none) ---------------
+        self.ckpt = None
+        self.start_epoch = 0
+        if cfg.ckpt_dir:
+            from .train.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(cfg.ckpt_dir)
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                state_h, epoch = restored
+                self.state = jax.device_put(state_h)
+                self.start_epoch = epoch + 1
         prof.log_init("init_other", t.passed())
 
     # ------------------------------------------------------------------
@@ -252,6 +273,8 @@ class OneChipEngine:
         cfg = self.cfg
         prof = Profiler.get()
         prof.begin_node_access_epoch()
+        if self.sanity is not None:
+            self.sanity.reset()
         t_epoch = Timer()
         losses, accs = [], []
         num_inputs = []
@@ -259,6 +282,13 @@ class OneChipEngine:
         for seeds, n, step in self.shuffler.batches(epoch):
             key = jax.random.fold_in(base, epoch * self.shuffler.num_step + step)
             skey = prof.step_key(epoch, step)
+            if self.sanity is not None:
+                # deterministic RNG: resampling with the same key yields
+                # the exact batch the (possibly fused) step trains on
+                self.sanity.check_batch(
+                    self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n)),
+                    self.plan,
+                )
             if self.fused_step is not None:
                 t = Timer()
                 self.state, loss, acc, n_edges, ovf = self.fused_step(
@@ -329,6 +359,12 @@ class OneChipEngine:
         sampled_edges = int(sum(int(x) for x in num_inputs)) if num_inputs else 0
         epoch_time = t_epoch.passed()
         prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
         return {
             "epoch": epoch,
             "epoch_time": epoch_time,

@@ -226,6 +226,19 @@ class FactoredEngine(_EngineBase):
 
         # --- the DP train wave -------------------------------------------
         self.train_wave = self._make_train_wave(repl_t, shard_t, self.label_t)
+
+        # --- checkpoint/resume (orbax; reference has none) ---------------
+        self.ckpt = None
+        self.start_epoch = 0
+        if cfg.ckpt_dir:
+            from ..train.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(cfg.ckpt_dir)
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                state_h, last_epoch = restored
+                self.state = jax.device_put(state_h, repl_t)
+                self.start_epoch = last_epoch + 1
         prof.log_init("init_other", t0.passed())
         log.info(
             "FactoredEngine: %d samplers + %d trainers, %d steps/epoch, "
@@ -396,6 +409,12 @@ class FactoredEngine(_EngineBase):
         accs = [float(x) for x in accs]
         epoch_time = t_epoch.passed()
         Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
         return {
             "epoch": epoch,
             "epoch_time": epoch_time,

@@ -12,6 +12,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from fgnn_tpu.config import RunConfig, SampleType
 from fgnn_tpu.data import make_synthetic_dataset
 from fgnn_tpu.engine import OneChipEngine
