@@ -42,7 +42,12 @@ from ..parallel.shuffler import (
     DistShuffler,
     EpochShuffler,
 )
-from ..train.loop import TrainState, create_train_state, masked_cross_entropy
+from ..train.loop import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    masked_cross_entropy,
+)
 from ..utils import Timer, get_logger
 from ..utils.profiler import Profiler
 
@@ -192,6 +197,7 @@ class FactoredEngine(_EngineBase):
         boot_shuffler = EpochShuffler(
             ds.train_set, cfg.batch_size, seed_cap, base_seed=cfg.seed
         )
+        self.single_sample = single_sample
         self.cache = self._build_cache(single_sample, boot_shuffler)
 
         # --- trainer side (TrainInit analog, dist_engine.cc:366-465) -----
@@ -442,6 +448,35 @@ class FactoredEngine(_EngineBase):
         feats = jax.device_put(feats, shard)
         keys = jax.random.split(key, group_size)
         return wave(state, stacked, feats, keys)
+
+    def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:
+        """Test accuracy on the trainer mesh (train_accuracy.py analog):
+        sample on the sampler side, extract+eval on the trainer side."""
+        cfg = self.cfg
+        nodes = np.asarray(
+            node_set if node_set is not None else self.ds.test_set
+        )
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(
+                make_eval_step(self.model, self.dst_caps, cfg.batch_size)
+            )
+        shuffler = EpochShuffler(
+            nodes, cfg.batch_size, self.plan.num_input_cap[0],
+            base_seed=cfg.seed + 7,
+        )
+        repl_t = self.roles.trainer_replicated
+        base = jax.random.key(cfg.seed + 12345)
+        accs = []
+        for seeds, n, step in shuffler.batches(0):
+            key = jax.random.fold_in(base, step)
+            batch = self.single_sample(key, jnp.asarray(seeds), jnp.int32(n))
+            b = jax.device_put(batch, repl_t)
+            feats = self._feats_for(b)
+            labels = label_gather(self.label_t, b.output_nodes)
+            accs.append(float(
+                self._eval_step(self.state.params, b, feats, labels)
+            ))
+        return float(np.mean(accs)) if accs else 0.0
 
     def _train_tail(self, pending_batches, base, losses, accs):
         """Train whatever remains after sampling finished; the plain
