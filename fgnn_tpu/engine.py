@@ -255,6 +255,42 @@ class OneChipEngine:
                 key, seeds, n,
             )
             self.train_jit = None
+
+            # whole-epoch program: lax.scan over steps — ONE dispatch and
+            # ONE stats fetch per epoch. Per-step Python dispatch pays a
+            # tunnel round-trip on this hardware (~50-100ms), which at
+            # 150+ steps/epoch would dominate the actual compute.
+            def epoch_fused(state, graph, feat, label, epoch_key,
+                            seeds_all, nums_all):
+                def body(st, inp):
+                    seeds, n, i = inp
+                    key = jax.random.fold_in(epoch_key, i)
+                    st, loss, acc, n_edges, ovf = fused_step(
+                        st, graph, feat, label, key, seeds, n
+                    )
+                    return st, (loss, acc, n_edges, ovf)
+
+                steps = seeds_all.shape[0]
+                idx = jnp.arange(steps, dtype=jnp.int32)
+                state, (losses, accs, edges, ovfs) = jax.lax.scan(
+                    body, state, (seeds_all, nums_all, idx)
+                )
+                w = (nums_all > 0).astype(jnp.float32)
+                wsum = jnp.maximum(w.sum(), 1.0)
+                return state, (
+                    (losses * w).sum() / wsum,
+                    (accs * w).sum() / wsum,
+                    edges.sum(),
+                    ovfs.any(),
+                )
+
+            self._epoch_g = jax.jit(epoch_fused, donate_argnums=(0,))
+            self.epoch_fused = (
+                lambda state, epoch_key, seeds_all, nums_all: self._epoch_g(
+                    state, self.graph, self.feat_dev, self.label_dev,
+                    epoch_key, seeds_all, nums_all,
+                )
+            )
         else:
             def train_only(state, label, key, batch, feats):
                 labels = label_gather(label, batch.output_nodes)
@@ -276,6 +312,44 @@ class OneChipEngine:
         if self.sanity is not None:
             self.sanity.reset()
         t_epoch = Timer()
+
+        # fast path: one scanned program per epoch. Falls back to the
+        # stepwise loop when per-step observability is requested
+        # (profile_level >= 2, sanity checks, node-access logging).
+        if (
+            self.fused_step is not None
+            and self.sanity is None
+            and cfg.profile_level < 2
+            and not prof.log_node_access
+        ):
+            seeds_all, nums_all = self.shuffler.epoch_arrays(epoch)
+            epoch_key = jax.random.fold_in(
+                jax.random.key(cfg.seed), 0x10000 + epoch
+            )
+            self.state, (loss, acc, edges, ovf) = self.epoch_fused(
+                self.state, epoch_key, jnp.asarray(seeds_all),
+                jnp.asarray(nums_all),
+            )
+            stats = np.asarray(jnp.stack(
+                [loss, acc, edges.astype(jnp.float32)]
+            ))  # single device fetch
+            epoch_time = t_epoch.passed()
+            prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+            if (
+                self.ckpt is not None
+                and cfg.ckpt_every > 0
+                and (epoch + 1) % cfg.ckpt_every == 0
+            ):
+                self.ckpt.save(epoch, self.state)
+            return {
+                "epoch": epoch,
+                "epoch_time": epoch_time,
+                "loss": float(stats[0]),
+                "acc": float(stats[1]),
+                "num_step": self.shuffler.num_step,
+                "sampled_edges": int(stats[2]),
+            }
+
         losses, accs = [], []
         num_inputs = []
         base = jax.random.key(cfg.seed)

@@ -46,6 +46,20 @@ class EpochShuffler:
             out[: hi - lo] = perm[lo:hi]
             yield out, hi - lo, step
 
+    def epoch_arrays(self, epoch: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Whole epoch at once: (seeds [num_step, seed_cap], nums
+        [num_step]) — one host->device upload per epoch instead of one per
+        step (the tunnel round-trip per step dominates otherwise)."""
+        perm = self.epoch_permutation(epoch)
+        seeds = np.full((self.num_step, self.seed_cap), -1, dtype=np.int32)
+        nums = np.zeros((self.num_step,), dtype=np.int32)
+        for step in range(self.num_step):
+            lo = step * self.batch_size
+            hi = min(lo + self.batch_size, len(perm))
+            seeds[step, : hi - lo] = perm[lo:hi]
+            nums[step] = hi - lo
+        return seeds, nums
+
 
 class DistShuffler(EpochShuffler):
     """Partition the (identically-shuffled) epoch across sampler workers by
