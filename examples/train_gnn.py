@@ -108,6 +108,8 @@ def main():
     mb = prof.epoch_average("epoch_miss_bytes")
     if fb > 0:
         log_test_result("cache_hit_rate", f"{1.0 - mb / fb:.4f}")
+    if prof.log_node_access:
+        prof.report_node_access("node", ds.num_node)
     log_test_result("init:presample", f"{prof._init.get('init_presample', 0.0):.4f}")
     log_test_result("init:load_dataset", f"{prof._init.get('init_load_dataset', 0.0):.4f}")
     log_test_result("init:build_cache", f"{prof._init.get('init_build_cache', 0.0):.4f}")

@@ -372,6 +372,10 @@ class OneChipEngine:
                 accs.append(acc)
                 num_inputs.append(n_edges)
                 prof.log_step(skey, "L1_train_time", t.passed())
+                if prof.log_node_access:
+                    # same key ⇒ identical batch as the fused step's
+                    b = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                    prof.log_node_access_batch(np.asarray(b.input_nodes))
             else:
                 t = Timer()
                 batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))

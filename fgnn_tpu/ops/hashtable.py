@@ -153,6 +153,73 @@ def unique_and_remap(
     return _from_sentinel(unique), num_unique, nbr_local, overflowed
 
 
+def unique_and_remap_direct(
+    seeds: jnp.ndarray,
+    num_seeds: jnp.ndarray,
+    neighbors: jnp.ndarray,
+    out_cap: int,
+    num_node: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sort-free FillWithDuplicates + GPUMapEdges via a direct-index table.
+
+    TPU analog of the reference's ``SXN_NAIVE_HASHMAP`` direct-index
+    OrderedHashTable variant (cuda_hashtable.h:70-94): a [num_node]
+    scratch in HBM replaces the O((S+E) log^2) XLA sort with O(N + E)
+    scatter/gather/cumsum — at 1M nodes / 2M sampled edges this is the
+    difference between ~40ms and a few ms per hop. Memory: 4B * num_node
+    per call (alive only inside the fused program); use the sort-based
+    :func:`unique_and_remap` for graphs where that scratch doesn't fit.
+
+    Same contract as :func:`unique_and_remap`: seeds keep their input
+    positions as locals, new nodes are appended in ascending global id
+    (cumsum order == id order), clipped at out_cap with overflow flag.
+    """
+    S = seeds.shape[0]
+    seeds_ok = seeds >= 0
+    nbr_ok = neighbors >= 0
+    safe_seeds = jnp.where(seeds_ok, seeds, 0)
+    safe_nbr = jnp.where(nbr_ok, neighbors, 0)
+    # padded entries scatter to index num_node -> dropped (never clobber
+    # a real node's slot)
+    tgt_seeds = jnp.where(seeds_ok, seeds, num_node)
+    tgt_nbr = jnp.where(nbr_ok, neighbors, num_node)
+
+    # seed locals: table[v] = position of v among seeds, else -1
+    seed_local = jnp.full((num_node,), -1, jnp.int32)
+    seed_local = seed_local.at[tgt_seeds].set(
+        jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0).squeeze(-1),
+        mode="drop",
+    )
+
+    # mark neighbor-visited nodes that are NOT seeds
+    present = jnp.zeros((num_node,), jnp.bool_)
+    present = present.at[tgt_nbr].set(True, mode="drop")
+    present = present & (seed_local < 0)
+
+    # dense ranks for new nodes, in ascending node id
+    rank = jnp.cumsum(present.astype(jnp.int32))          # inclusive
+    num_new = rank[-1]
+    new_local_tab = S + rank - 1                          # valid where present
+
+    nbr_seed_loc = seed_local[safe_nbr]
+    nbr_new_loc = new_local_tab[safe_nbr]
+    local = jnp.where(nbr_seed_loc >= 0, nbr_seed_loc, nbr_new_loc)
+    local = jnp.where(local >= out_cap, -1, local)        # clipped
+    nbr_local = jnp.where(nbr_ok, local, -1)
+
+    # unique list: seeds block, then new nodes compacted by rank
+    unique = jnp.full((out_cap,), INT_MAX, jnp.int32).at[:S].set(
+        _to_sentinel(seeds)
+    )
+    ids = jax.lax.broadcasted_iota(jnp.int32, (num_node, 1), 0).squeeze(-1)
+    tgt = jnp.where(present, S + rank - 1, out_cap)       # out-of-range drops
+    unique = unique.at[tgt].set(jnp.where(present, ids, INT_MAX), mode="drop")
+
+    overflowed = (S + num_new) > out_cap
+    num_unique = num_seeds + jnp.minimum(num_new, jnp.int32(out_cap - S))
+    return _from_sentinel(unique), num_unique, nbr_local, overflowed
+
+
 def lookup_local_ids(
     unique: jnp.ndarray,
     num_seeds_static: int,

@@ -30,8 +30,13 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..config import SampleType
-from .hashtable import unique_and_remap
+from .hashtable import unique_and_remap, unique_and_remap_direct
 from .padding import SamplePlan
+
+# Direct-index dedup (SXN_NAIVE_HASHMAP analog) needs a [num_node] int32
+# scratch per hop; worth it up to ~64M nodes (256MB), after which the
+# sort-based path wins on memory.
+DIRECT_REMAP_MAX_NODES = 64_000_000
 
 
 @struct.dataclass
@@ -276,9 +281,14 @@ def multi_layer_sample(
         k = jax.random.fold_in(key, hop)
         nbrs, valid = sample_layer(k, graph, cur, fanout, sample_type)
 
-        unique, num_unique, src_local, ovf = unique_and_remap(
-            cur, num_cur, nbrs, plan.num_unique_cap[hop]
-        )
+        if graph.num_node <= DIRECT_REMAP_MAX_NODES:
+            unique, num_unique, src_local, ovf = unique_and_remap_direct(
+                cur, num_cur, nbrs, plan.num_unique_cap[hop], graph.num_node
+            )
+        else:
+            unique, num_unique, src_local, ovf = unique_and_remap(
+                cur, num_cur, nbrs, plan.num_unique_cap[hop]
+            )
         overflowed = overflowed | ovf
 
         # lazy iota, NOT jnp.repeat(arange(...)) — a concrete repeat bakes a

@@ -581,6 +581,40 @@ class SGNNEngine(_EngineBase):
             state, self.graph, self.feat_dev, self.label_dev,
             keys, seeds, nums,
         )
+
+        # whole-epoch program: scan the fused wave over local steps — one
+        # dispatch + one stats fetch per epoch (cf. OneChipEngine)
+        def epoch_fused(state, graph, feat, label, keys_all, seeds_all,
+                        nums_all):
+            def body(st, inp):
+                keys, seeds, nums = inp
+                st, loss, acc = fused_wave(
+                    st, graph, feat, label, keys, seeds, nums
+                )
+                return st, (loss, acc)
+
+            state, (losses, accs) = jax.lax.scan(
+                body, state, (keys_all, seeds_all, nums_all)
+            )
+            return state, losses.mean(), accs.mean()
+
+        # leading scan axis replicated; per-wave axis sharded over 'data'
+        def seq(s):
+            return NamedSharding(self.mesh, P(None, *s.spec))
+
+        self._epoch_wave_g = jax.jit(
+            epoch_fused,
+            in_shardings=(repl, repl, repl, repl, seq(shard), seq(shard),
+                          seq(shard)),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
+        self.epoch_wave = (
+            lambda state, keys_all, seeds_all, nums_all: self._epoch_wave_g(
+                state, self.graph, self.feat_dev, self.label_dev,
+                keys_all, seeds_all, nums_all,
+            )
+        )
         log.info("SGNNEngine: %d workers, %d local steps/epoch", W,
                  self.num_local_step)
 
@@ -589,25 +623,33 @@ class SGNNEngine(_EngineBase):
         W = len(self.shufflers)
         t_epoch = Timer()
         base = jax.random.key(cfg.seed)
-        iters = [sh.batches(epoch) for sh in self.shufflers]
-        losses, accs = [], []
-        for local in range(self.num_local_step):
-            seeds_l, nums_l, keys_l = [], [], []
-            for w in range(W):
-                seeds, n, step = next(iters[w])
-                seeds_l.append(seeds)
-                nums_l.append(np.int32(n))
-                keys_l.append(jax.random.fold_in(base, epoch * 100003 + step))
-            self.state, loss, acc = self.fused_wave(
-                self.state,
-                jnp.stack(keys_l),
-                jnp.asarray(np.stack(seeds_l)),
-                jnp.asarray(np.stack(nums_l)),
-            )
-            losses.append(loss)
-            accs.append(acc)
-        losses = [float(x) for x in losses]
-        accs = [float(x) for x in accs]
+        # assemble the whole epoch host-side: [L, W, cap] seeds, [L, W]
+        # nums/keys — a single upload + one scanned device program
+        L = self.num_local_step
+        seeds_all = np.full(
+            (L, W, self.plan.num_input_cap[0]), -1, dtype=np.int32
+        )
+        nums_all = np.zeros((L, W), dtype=np.int32)
+        keys_l = []
+        for w, sh in enumerate(self.shufflers):
+            for local, (seeds, n, step) in enumerate(sh.batches(epoch)):
+                seeds_all[local, w] = seeds
+                nums_all[local, w] = n
+        key_rows = [
+            jnp.stack([
+                jax.random.fold_in(base, epoch * 100003 + local * W + w)
+                for w in range(W)
+            ])
+            for local in range(L)
+        ]
+        self.state, loss, acc = self.epoch_wave(
+            self.state,
+            jnp.stack(key_rows),
+            jnp.asarray(seeds_all),
+            jnp.asarray(nums_all),
+        )
+        stats = np.asarray(jnp.stack([loss, acc]))  # one fetch
+        losses, accs = [float(stats[0])], [float(stats[1])]
         epoch_time = t_epoch.passed()
         Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
         return {

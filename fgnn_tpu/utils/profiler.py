@@ -166,6 +166,26 @@ class Profiler:
             curve.append((pct, hit))
         return curve
 
+    def report_node_access(self, path_prefix: str, num_nodes: int) -> None:
+        """Write node-access artifacts (ReportNodeAccess +
+        ReportNodeAccessSimple, profiler.cc:657-860): frequency-ranked
+        binary node list (cache-ranking file format), epoch-set similarity,
+        and the optimal-cache-hit curve."""
+        import numpy as np
+
+        ranked = [n for n, _ in self._node_access.most_common()]
+        np.asarray(ranked, dtype=np.uint32).tofile(
+            path_prefix + "_ranking.bin"
+        )
+        report = {
+            "num_touched": len(self._node_access),
+            "total_accesses": int(sum(self._node_access.values())),
+            "epoch_similarity": self.node_access_similarity(),
+            "optimal_hit_curve": self.optimal_cache_hit_curve(num_nodes, 21),
+        }
+        with open(path_prefix + "_access.json", "w") as f:
+            json.dump(report, f, indent=2)
+
     # -- trace (TraceStepBegin/End analog, profiler.h:142-176) ------------
     def trace_event(self, key: int, item: str, begin_us: float, end_us: float) -> None:
         self._trace.append(
