@@ -1,0 +1,132 @@
+"""Decompose steady-state fused-step time by differencing scanned programs.
+
+Each candidate program is scanned over `steps` iterations inside ONE jit
+(mirroring the engine's whole-epoch scan), so per-call tunnel round-trips
+amortize away and the numbers match what the epoch actually pays.
+
+Usage: python tools/profile_fused_breakdown.py [num_nodes] [steps]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from fgnn_tpu.config import RunConfig, SampleType
+from fgnn_tpu.data import make_synthetic_dataset
+from fgnn_tpu.engine import OneChipEngine
+from fgnn_tpu.ops.extract import device_gather, label_gather
+from fgnn_tpu.ops.sampling import multi_layer_sample, sample_layer
+from fgnn_tpu.ops.hashtable import unique_and_remap
+
+
+def scan_timer(name, make_body, steps, *args, reps=3):
+    """Build jit(scan(body)) over `steps` iters; report per-iter ms."""
+
+    @jax.jit
+    def prog(*a):
+        def body(carry, i):
+            out = make_body(i, *a)
+            # fold into the carry so no iteration can be DCE'd
+            return carry + out.astype(jnp.float32), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+        return acc
+
+    r = prog(*args)
+    float(r)  # compile + run once
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(prog(*args))
+        ts.append(time.perf_counter() - t0)
+    per = min(ts) / steps * 1e3
+    print(f"{name:40s} {per:9.3f} ms/iter")
+    return per
+
+
+def main():
+    num_node = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    ds = make_synthetic_dataset(num_node=num_node, avg_degree=15,
+                                feat_dim=128, num_class=64,
+                                train_frac=0.05, seed=0)
+    cfg = RunConfig(model="graphsage", fanout=(25, 10), batch_size=8000,
+                    num_hidden=256, sample_type=SampleType.KHOP2,
+                    dropout=0.5)
+    eng = OneChipEngine(cfg, ds)
+    plan = eng.plan
+    seeds_np, n, _ = next(eng.shuffler.batches(0))
+    seeds = jnp.asarray(seeds_np)
+    num = jnp.int32(n)
+    g = eng.graph
+    feat = eng.feat_dev
+    label = eng.label_dev
+
+    def key_of(i):
+        return jax.random.fold_in(jax.random.key(0), i)
+
+    # 1. hop0 sample only (no dedup)
+    scan_timer(
+        "hop0 sample_layer", lambda i, g, s: jnp.sum(
+            sample_layer(key_of(i), g, s, plan.fanouts[0],
+                         cfg.sample_type)[0]
+        ), steps, g, seeds,
+    )
+
+    # 2. full sampling pipeline
+    scan_timer(
+        "multi_layer_sample", lambda i, g, s, n_: jnp.sum(
+            multi_layer_sample(key_of(i), g, s, n_, plan,
+                               cfg.sample_type).input_nodes
+        ), steps, g, seeds, num,
+    )
+
+    # 3. sampling + feature gather
+    def samp_gather(i, g, f, s, n_):
+        b = multi_layer_sample(key_of(i), g, s, n_, plan, cfg.sample_type)
+        return jnp.sum(device_gather(f, b.input_nodes))
+
+    scan_timer("sample + feature gather", samp_gather, steps, g, feat,
+               seeds, num)
+
+    # 4. feature gather alone (random ids)
+    def gather_only(i, f):
+        ids = jax.random.randint(
+            key_of(i), (plan.num_unique_cap[-1],), 0, num_node, jnp.int32
+        )
+        return jnp.sum(device_gather(f, ids))
+
+    scan_timer("feature gather alone", gather_only, steps, feat)
+
+    # 5. hop1-size unique_and_remap alone (random inputs)
+    E1 = plan.num_input_cap[1] * plan.fanouts[1]
+    S1 = plan.num_input_cap[1]
+
+    def remap_only(i, _g):
+        k = key_of(i)
+        sd = jax.random.randint(k, (S1,), 0, num_node, jnp.int32)
+        nb = jax.random.randint(
+            jax.random.fold_in(k, 1), (E1,), 0, num_node, jnp.int32
+        )
+        u, nu, loc, ovf = unique_and_remap(sd, jnp.int32(S1), nb,
+                                           plan.num_unique_cap[1])
+        return jnp.sum(loc) + jnp.sum(u)
+
+    scan_timer("hop1 unique_and_remap", remap_only, steps, g)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
