@@ -39,6 +39,28 @@ def segment_agg(
     Returns: [dst_cap, D].
     """
     mask = block.mask
+    K = block.slots_per_dst
+    if K is not None and mask.shape[0] == dst_cap * K:
+        # REGULAR block: dst d owns slots [d*K, (d+1)*K) — aggregation is
+        # a dense reshape+reduce (VPU), no scatter. TPU scatter-add at 2M
+        # edges costs ~40x more than this form.
+        D = messages.shape[-1]
+        m = mask.reshape(dst_cap, K)
+        if mode == "weighted_mean":
+            assert edge_weights is not None
+            w = jnp.where(m, edge_weights.reshape(dst_cap, K), 0.0)
+            msg = messages.reshape(dst_cap, K, D) * w[..., None]
+            agg = msg.sum(axis=1)
+            return agg / jnp.maximum(w.sum(axis=1), 1.0)[:, None]
+        msg = jnp.where(
+            m[..., None], messages.reshape(dst_cap, K, D), 0.0
+        )
+        agg = msg.sum(axis=1)
+        if mode == "mean":
+            cnt = m.sum(axis=1).astype(messages.dtype)
+            agg = agg / jnp.maximum(cnt, 1.0)[:, None]
+        return agg
+
     dst = jnp.where(mask, block.dst_local, dst_cap)  # trash row = dst_cap
     w = None
     if mode == "weighted_mean":
@@ -69,8 +91,19 @@ def segment_softmax(
     scores: [E_cap, H]; returns normalized [E_cap, H] (0 on padded edges).
     """
     mask = block.mask
-    dst = jnp.where(mask, block.dst_local, dst_cap)
+    K = block.slots_per_dst
     neg_inf = jnp.finfo(scores.dtype).min
+    if K is not None and mask.shape[0] == dst_cap * K:
+        H = scores.shape[-1]
+        m = mask.reshape(dst_cap, K, 1)
+        s = jnp.where(m, scores.reshape(dst_cap, K, H), neg_inf)
+        smax = jnp.max(s, axis=1, keepdims=True)
+        smax = jnp.where(smax == neg_inf, 0.0, smax)
+        ex = jnp.where(m, jnp.exp(s - smax), 0.0)
+        denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
+        return (ex / denom).reshape(dst_cap * K, H)
+
+    dst = jnp.where(mask, block.dst_local, dst_cap)
     masked = jnp.where(mask[:, None], scores, neg_inf)
     smax = jax.ops.segment_max(masked, dst, num_segments=dst_cap + 1)
     smax = jnp.where(smax == neg_inf, 0.0, smax)
@@ -82,6 +115,9 @@ def segment_softmax(
 
 def in_degrees(block: Block, dst_cap: int) -> jnp.ndarray:
     mask = block.mask
+    K = block.slots_per_dst
+    if K is not None and mask.shape[0] == dst_cap * K:
+        return mask.reshape(dst_cap, K).sum(axis=1).astype(jnp.float32)
     dst = jnp.where(mask, block.dst_local, dst_cap)
     return jax.ops.segment_sum(
         mask.astype(jnp.float32), dst, num_segments=dst_cap + 1

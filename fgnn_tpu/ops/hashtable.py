@@ -109,12 +109,19 @@ def unique_and_remap(
     S = seeds.shape[0]
     E = neighbors.shape[0]
     assert out_cap >= S
+    assert S + E < (1 << 24), "position field overflow"
     arr = jnp.concatenate([_to_sentinel(seeds), _to_sentinel(neighbors)])
     tag = jnp.concatenate(
         [jnp.zeros(S, jnp.int32), jnp.ones(E, jnp.int32)]
     )
     pos = jax.lax.broadcasted_iota(jnp.int32, (S + E, 1), 0).squeeze(-1)
-    sa, st, sp = jax.lax.sort((arr, tag, pos), num_keys=2, is_stable=True)
+    # pack (tag:1 | pos:24) into the secondary key: 8B/element instead of
+    # 12B and no is_stable flag (unique pos bits already make the order
+    # deterministic). int64 packing is unavailable (x64 disabled).
+    tagpos = (tag << 24) | pos
+    sa, stp = jax.lax.sort((arr, tagpos), num_keys=2)
+    st = stp >> 24
+    sp = stp & ((1 << 24) - 1)
 
     first = jnp.concatenate([jnp.array([True]), sa[1:] != sa[:-1]])
     is_pad = sa == INT_MAX

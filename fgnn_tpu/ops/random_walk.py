@@ -146,6 +146,7 @@ def random_walk_topk(
                 num_src=num_unique.astype(jnp.int32),
                 num_dst=num_cur.astype(jnp.int32),
                 weights=jnp.where(mask, weights, 0.0),
+                slots_per_dst=K,
             )
         )
         cur = unique
