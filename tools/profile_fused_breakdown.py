@@ -125,6 +125,52 @@ def main():
         return jnp.sum(loc) + jnp.sum(u)
 
     scan_timer("hop1 unique_and_remap", remap_only, steps, g)
+
+    # 6. full fused step (sample + gather + fwd/bwd + adam)
+    state0 = eng.state
+
+    def fused(i, g, f, l, st):
+        st2, loss, acc, ne, ovf = eng._fused_g(
+            jax.tree.map(lambda x: x, st), g, f, l, key_of(i), seeds, num
+        )
+        return loss
+
+    # NOTE: donation disabled by passing a copy via tree.map identity?
+    # Donation happens per-call on arg 0 of _fused_g; inside jit-of-jit the
+    # inner jit is inlined, so no double-free — but keep state out of the
+    # carry to be safe.
+    def fused_body(i, g, f, l, st):
+        batch = multi_layer_sample(key_of(i), g, seeds, num, plan,
+                                   cfg.sample_type)
+        feats = device_gather(f, batch.input_nodes)
+        labels = label_gather(l, batch.output_nodes)
+        from fgnn_tpu.train.loop import make_train_step
+
+        step_fn = make_train_step(eng.model, eng.tx, eng.dst_caps,
+                                  cfg.batch_size)
+        st2, loss, acc = step_fn(st, batch, feats, labels, key_of(i))
+        return loss
+
+    scan_timer("full fused step", fused_body, steps, g, feat, label, state0)
+
+    # 7. train-only on a FIXED batch (no sampling/gather in the loop)
+    batch0 = jax.jit(
+        lambda: multi_layer_sample(key_of(0), g, seeds, num, plan,
+                                   cfg.sample_type)
+    )()
+    feats0 = device_gather(feat, batch0.input_nodes)
+    labels0 = label_gather(label, batch0.output_nodes)
+    from fgnn_tpu.train.loop import make_train_step
+
+    step_fn = make_train_step(eng.model, eng.tx, eng.dst_caps,
+                              cfg.batch_size)
+
+    def train_only(i, b, f0, l0, st):
+        st2, loss, acc = step_fn(st, b, f0, l0, key_of(i))
+        return loss
+
+    scan_timer("train-only (fixed batch)", train_only, steps, batch0,
+               feats0, labels0, state0)
     print("done")
 
 
