@@ -55,25 +55,34 @@ class OneChipEngine:
         # --- topology to device (SampleDataCopy analog) -------------------
         indptr = np.asarray(ds.indptr)
         ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
+
+        def pad_lane(a):
+            # lane-align per-edge arrays for blocked 1D gathers
+            from .ops.sampling import INDICES_LANE
+
+            a = np.asarray(a)
+            rem = (-len(a)) % INDICES_LANE
+            return np.pad(a, (0, rem)) if rem else a
+
         self.graph = CSRGraph(
             indptr=jnp.asarray(indptr.astype(ptr_dtype)),
-            indices=jnp.asarray(np.asarray(ds.indices)),
+            indices=jnp.asarray(pad_lane(ds.indices)),
             prob_table=(
-                jnp.asarray(np.asarray(ds.prob_table))
+                jnp.asarray(pad_lane(ds.prob_table))
                 if ds.prob_table is not None
                 and cfg.sample_type in (SampleType.WEIGHTED_KHOP,
                                         SampleType.WEIGHTED_KHOP_HASH_DEDUP)
                 else None
             ),
             alias_table=(
-                jnp.asarray(np.asarray(ds.alias_table))
+                jnp.asarray(pad_lane(ds.alias_table))
                 if ds.alias_table is not None
                 and cfg.sample_type in (SampleType.WEIGHTED_KHOP,
                                         SampleType.WEIGHTED_KHOP_HASH_DEDUP)
                 else None
             ),
             prob_prefix_table=(
-                jnp.asarray(np.asarray(ds.prob_prefix_table))
+                jnp.asarray(pad_lane(ds.prob_prefix_table))
                 if ds.prob_prefix_table is not None
                 and cfg.sample_type == SampleType.WEIGHTED_KHOP_PREFIX
                 else None
@@ -185,7 +194,8 @@ class OneChipEngine:
         prof.log_init("init_other", t.passed())
 
     # ------------------------------------------------------------------
-    def _sample(self, graph, key, seeds, num_seeds) -> SampledBatch:
+    def _sample(self, graph, key, seeds, num_seeds,
+                dedup_last_hop: bool = True) -> SampledBatch:
         """Sampling body. `graph` is threaded through as a jit ARGUMENT —
         closing over the device-resident CSR would embed it as an HLO
         constant and blow the program size past compile-service limits."""
@@ -198,7 +208,8 @@ class OneChipEngine:
                 restart_prob=cfg.random_walk_restart_prob,
             )
         return multi_layer_sample(
-            key, graph, seeds, num_seeds, self.plan, cfg.sample_type
+            key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
+            dedup_last_hop=dedup_last_hop,
         )
 
     def _build_fns(self):
@@ -236,8 +247,14 @@ class OneChipEngine:
         )
 
         if self.feat_on_device:
+            # HBM-resident features: skip last-hop dedup (see
+            # multi_layer_sample docstring) — duplicate feature-row reads
+            # are cheaper than the dedup sort+unscatter at these sizes
+            dedup = cfg.sample_type == SampleType.RANDOM_WALK
+
             def fused_step(state, graph, feat, label, key, seeds, num_seeds):
-                batch = self._sample(graph, key, seeds, num_seeds)
+                batch = self._sample(graph, key, seeds, num_seeds,
+                                     dedup_last_hop=dedup)
                 feats = device_gather(feat, batch.input_nodes)
                 labels = label_gather(label, batch.output_nodes)
                 k_drop = jax.random.fold_in(key, 0x5eed)

@@ -51,7 +51,9 @@ def random_walk_visits(
             jnp.floor(u * deg.astype(u.dtype)).astype(jnp.int32), deg - 1
         )
         flat = jnp.clip(off + jnp.maximum(pick, 0), 0, E - 1)
-        nxt = jnp.take(graph.indices, flat.reshape(-1), mode="clip").reshape(n, W)
+        from .sampling import take_1d_blocked
+
+        nxt = take_1d_blocked(graph.indices, flat.reshape(-1)).reshape(n, W)
         ok = alive & (deg > 0)
         visited = jnp.where(ok, nxt, -1)
         # terminate with restart_prob (reference kills the walk, :94-97)

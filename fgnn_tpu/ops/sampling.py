@@ -179,8 +179,12 @@ def _weighted_alias(
     )
     flat = off[:, None] + slot
     flat_c = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
-    prob = graph.prob_table[flat_c]
-    alias = graph.alias_table[flat_c]
+    prob = take_1d_blocked(
+        graph.prob_table, flat_c.reshape(-1)
+    ).reshape(flat_c.shape)
+    alias = take_1d_blocked(
+        graph.alias_table, flat_c.reshape(-1)
+    ).reshape(flat_c.shape)
     idx = jnp.where(u2 < prob, slot, alias)
     valid = jnp.broadcast_to((deg > 0)[:, None], idx.shape)
     return jnp.where(valid, idx, -1), valid
@@ -218,6 +222,31 @@ def _weighted_prefix(
     idx = jnp.minimum(lo, deg[:, None] - 1)
     valid = jnp.broadcast_to((deg > 0)[:, None], idx.shape)
     return jnp.where(valid, idx, -1), valid
+
+
+# lane width for blocked 1D gathers from the CSR indices array: element
+# gathers on TPU serialize badly; gathering an aligned 32-lane row and
+# selecting the lane on the VPU is ~6x faster. Engines pad `indices` to a
+# multiple of this.
+INDICES_LANE = 32
+
+
+def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table[idx] for 1D int32 `table` via row-gather + lane select.
+
+    Falls back to plain take when the table length is not lane-aligned
+    (engines pad; ad-hoc callers may not)."""
+    n = table.shape[0]
+    if n % INDICES_LANE != 0:
+        return jnp.take(table, idx, mode="clip")
+    rows = table.reshape(-1, INDICES_LANE)
+    rid = jnp.clip(idx // INDICES_LANE, 0, rows.shape[0] - 1)
+    off = (idx % INDICES_LANE).astype(jnp.int32)
+    g = jnp.take(rows, rid, axis=0)                       # [M, LANE]
+    lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
+    return jnp.sum(
+        jnp.where(lane == off[:, None], g, 0), axis=1
+    ).astype(table.dtype)
 
 
 def sample_layer(
@@ -259,7 +288,7 @@ def sample_layer(
 
     flat = off[:, None] + jnp.maximum(idx, 0).astype(ptr_dtype)
     flat = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
-    nbr = jnp.take(graph.indices, flat.reshape(-1), mode="clip")
+    nbr = take_1d_blocked(graph.indices, flat.reshape(-1))
     valid = valid.reshape(-1) & jnp.repeat(node_ok, fanout)
     return jnp.where(valid, nbr, -1), valid
 
@@ -275,12 +304,22 @@ def multi_layer_sample(
     num_seeds: jnp.ndarray,
     plan: SamplePlan,
     sample_type: SampleType,
+    dedup_last_hop: bool = True,
 ) -> SampledBatch:
     """Sample all hops + dedup + local-id remap, fully jittable.
 
     Mirrors the reference inner loop (cuda_loops.cc:87-257): per hop,
     sample -> FillWithDuplicates -> MapEdges; the final unique list is the
     batch's ``input_nodes`` for feature extraction.
+
+    ``dedup_last_hop=False`` is a TPU-specific fast mode for HBM-resident
+    features: the deepest hop skips dedup entirely — ``input_nodes``
+    becomes ``[frontier | sampled neighbors]`` (with duplicates) and each
+    edge's src_local points at its own slot (S + edge_index), so the
+    model's per-edge source gather degenerates to a SLICE. The dedup
+    sort + local-id unscatter at 2M edges costs ~40ms on a v5e while the
+    extra (duplicate) feature-row reads cost ~9ms of HBM bandwidth —
+    dedup only pays off when features are host-resident (cache mode).
     """
     assert seeds.shape[0] == plan.num_input_cap[0], (
         f"seeds cap {seeds.shape[0]} != plan {plan.num_input_cap[0]}"
@@ -292,10 +331,28 @@ def multi_layer_sample(
 
     for hop in range(plan.num_layer):
         fanout = plan.fanouts[hop]
+        last = hop == plan.num_layer - 1
         k = jax.random.fold_in(key, hop)
         nbrs, valid = sample_layer(k, graph, cur, fanout, sample_type)
 
-        if graph.num_node <= DIRECT_REMAP_MAX_NODES:
+        if last and not dedup_last_hop:
+            S = cur.shape[0]
+            E = nbrs.shape[0]
+            # src slot j holds neighbor j itself, appended after the
+            # frontier: gather_src(h)[j] == h[S + j]
+            src_local = jnp.where(
+                valid,
+                S + jax.lax.broadcasted_iota(
+                    jnp.int32, (E, 1), 0
+                ).squeeze(-1),
+                -1,
+            )
+            unique = jnp.concatenate([cur, jnp.where(valid, nbrs, -1)])
+            num_unique = (
+                num_cur + jnp.sum(valid).astype(jnp.int32)
+            )
+            ovf = jnp.zeros((), bool)
+        elif graph.num_node <= DIRECT_REMAP_MAX_NODES:
             unique, num_unique, src_local, ovf = unique_and_remap_direct(
                 cur, num_cur, nbrs, plan.num_unique_cap[hop], graph.num_node
             )

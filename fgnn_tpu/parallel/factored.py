@@ -55,11 +55,18 @@ log = get_logger(__name__)
 
 
 def _put_graph(ds: Dataset, cfg: RunConfig, sharding) -> CSRGraph:
+    from ..ops.sampling import INDICES_LANE
+
     ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
     def put(x, dtype=None):
         a = np.asarray(x)
         if dtype is not None:
             a = a.astype(dtype)
+        if a.ndim == 1 and len(a) == ds.num_edge:
+            # lane-align per-edge arrays for blocked 1D gathers
+            rem = (-len(a)) % INDICES_LANE
+            if rem:
+                a = np.pad(a, (0, rem))
         return jax.device_put(a, sharding)
     weighted = cfg.sample_type in (
         SampleType.WEIGHTED_KHOP, SampleType.WEIGHTED_KHOP_HASH_DEDUP
