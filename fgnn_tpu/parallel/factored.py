@@ -111,7 +111,8 @@ class _EngineBase:
             self.plan.num_layer, cfg.dropout,
         )
 
-    def _sample_one(self, graph, key, seeds, num_seeds):
+    def _sample_one(self, graph, key, seeds, num_seeds,
+                    dedup_last_hop: bool = True):
         cfg = self.cfg
         if cfg.sample_type == SampleType.RANDOM_WALK:
             return random_walk_topk(
@@ -121,7 +122,8 @@ class _EngineBase:
                 restart_prob=cfg.random_walk_restart_prob,
             )
         return multi_layer_sample(
-            key, graph, seeds, num_seeds, self.plan, cfg.sample_type
+            key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
+            dedup_last_hop=dedup_last_hop,
         )
 
     def _build_cache(self, sample_fn, shuffler) -> Optional[FeatureCache]:
@@ -545,12 +547,17 @@ class SGNNEngine(_EngineBase):
         B = cfg.batch_size
         model, dst_caps = self.model, self.dst_caps
 
+        # features are chip-resident in SGNN -> last-hop dedup is a net
+        # loss (see multi_layer_sample docstring)
+        dedup = cfg.sample_type == SampleType.RANDOM_WALK
+
         def fused_wave(state, graph, feat, label, keys, seeds, nums):
             # graph/feat/label are jit ARGUMENTS (HLO-constant blowup
             # otherwise — the feature matrix alone is 100s of MB)
             def loss_fn(params):
                 def one(k, s, n):
-                    batch = self._sample_one(graph, k, s, n)
+                    batch = self._sample_one(graph, k, s, n,
+                                             dedup_last_hop=dedup)
                     feats = device_gather(feat, batch.input_nodes)
                     labels = label_gather(label, batch.output_nodes)
                     logits = model.apply(
