@@ -56,7 +56,7 @@ def main():
                 "--fanout", "5", "10", "15",
             ] + workers
             r = run_app(app, os.path.join(HERE, "run-logs"),
-                        f"{model}_{arch}")
+                        f"{model}_{arch}", env=env)
             r.config["model"] = model
             r.config["run_arch"] = arch
             results.append(r)

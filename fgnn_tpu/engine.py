@@ -108,10 +108,18 @@ class OneChipEngine:
         log.info("sample plan: %s", self.plan)
 
         # --- feature placement -------------------------------------------
-        feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * 4
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
+        feat_itm = 2 if self.compute_dtype is not None else 4
+        feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * feat_itm
         self.feat_on_device = feat_bytes <= feat_hbm_budget
         if self.feat_on_device:
-            self.feat_dev = jnp.asarray(np.asarray(ds.feat))
+            # bf16 table halves both HBM residency and gather bandwidth
+            self.feat_dev = jnp.asarray(
+                np.asarray(ds.feat),
+                dtype=self.compute_dtype or jnp.float32,
+            )
         else:
             self.feat_dev = None
         self.label_dev = jnp.asarray(np.asarray(ds.label))
@@ -175,7 +183,7 @@ class OneChipEngine:
         self.dst_caps = tuple(reversed(self.plan.num_input_cap))
         self.model = build_model(
             cfg.model, ds.feat_dim, cfg.num_hidden, ds.num_class,
-            self.plan.num_layer, cfg.dropout,
+            self.plan.num_layer, cfg.dropout, dtype=self.compute_dtype,
         )
         self._build_fns()
 

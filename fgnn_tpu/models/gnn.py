@@ -38,11 +38,12 @@ class GraphConv(nn.Module):
 
     out_dim: int
     activation: Optional[Callable] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, block: Block, h: jnp.ndarray, dst_cap: int) -> jnp.ndarray:
         src_cap = h.shape[0]
-        h = nn.Dense(self.out_dim, use_bias=False, name="weight")(h)
+        h = nn.Dense(self.out_dim, use_bias=False, name="weight", dtype=self.dtype)(h)
         deg_out = out_degrees(block, src_cap)
         h = h * jax.lax.rsqrt(jnp.maximum(deg_out, 1.0))[:, None]
         msgs = gather_src(h, block)
@@ -61,14 +62,15 @@ class SAGEConv(nn.Module):
 
     out_dim: int
     activation: Optional[Callable] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, block: Block, h: jnp.ndarray, dst_cap: int) -> jnp.ndarray:
         h_dst = h[:dst_cap]
         msgs = gather_src(h, block)
         agg = segment_agg(msgs, block, dst_cap, mode="mean")
-        out = nn.Dense(self.out_dim, name="fc_self")(h_dst) + nn.Dense(
-            self.out_dim, use_bias=False, name="fc_neigh"
+        out = nn.Dense(self.out_dim, name="fc_self", dtype=self.dtype)(h_dst) + nn.Dense(
+            self.out_dim, use_bias=False, name="fc_neigh", dtype=self.dtype
         )(agg)
         if self.activation is not None:
             out = self.activation(out)
@@ -82,6 +84,7 @@ class WeightedSAGEConv(nn.Module):
     out_dim: int
     dropout: float = 0.5
     activation: Callable = jax.nn.relu
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -95,7 +98,7 @@ class WeightedSAGEConv(nn.Module):
         assert block.weights is not None, "PinSAGE requires edge weights"
         h_dst = h[:dst_cap]
         n = self.activation(
-            nn.Dense(self.hidden_dim, name="Q")(
+            nn.Dense(self.hidden_dim, name="Q", dtype=self.dtype)(
                 nn.Dropout(self.dropout, deterministic=deterministic)(h)
             )
         )
@@ -104,7 +107,7 @@ class WeightedSAGEConv(nn.Module):
             msgs, block, dst_cap, mode="weighted_mean", edge_weights=block.weights
         )
         z = self.activation(
-            nn.Dense(self.out_dim, name="W")(
+            nn.Dense(self.out_dim, name="W", dtype=self.dtype)(
                 nn.Dropout(self.dropout, deterministic=deterministic)(
                     jnp.concatenate([agg, h_dst], axis=1)
                 )
@@ -123,6 +126,7 @@ class GATConv(nn.Module):
     attn_drop: float = 0.0
     negative_slope: float = 0.2
     activation: Optional[Callable] = None
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -134,7 +138,7 @@ class GATConv(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         H, D = self.num_heads, self.out_dim
-        feat = nn.Dense(H * D, use_bias=False, name="fc")(h).reshape(-1, H, D)
+        feat = nn.Dense(H * D, use_bias=False, name="fc", dtype=self.dtype)(h).reshape(-1, H, D)
         attn_l = self.param("attn_l", nn.initializers.glorot_uniform(), (1, H, D))
         attn_r = self.param("attn_r", nn.initializers.glorot_uniform(), (1, H, D))
         el = jnp.sum(feat * attn_l, axis=-1)  # [src_cap, H]
@@ -166,10 +170,11 @@ class GCN(nn.Module):
     num_classes: int
     num_layers: int
     dropout: float = 0.5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: SampledBatch, feats, dst_caps, *, deterministic=True):
-        h = feats
+        h = feats if self.dtype is None else feats.astype(self.dtype)
         dims = (
             [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         )
@@ -177,7 +182,7 @@ class GCN(nn.Module):
             if i != 0:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             act = jax.nn.relu if i < self.num_layers - 1 else None
-            h = GraphConv(dim, activation=act)(block, h, dst_caps[i])
+            h = GraphConv(dim, activation=act, dtype=self.dtype)(block, h, dst_caps[i])
         return h
 
 
@@ -187,16 +192,17 @@ class GraphSAGE(nn.Module):
     num_classes: int
     num_layers: int
     dropout: float = 0.5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: SampledBatch, feats, dst_caps, *, deterministic=True):
-        h = feats
+        h = feats if self.dtype is None else feats.astype(self.dtype)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         for i, (block, dim) in enumerate(zip(batch.blocks, dims)):
             if i != 0:
                 h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
             act = jax.nn.relu if i < self.num_layers - 1 else None
-            h = SAGEConv(dim, activation=act)(block, h, dst_caps[i])
+            h = SAGEConv(dim, activation=act, dtype=self.dtype)(block, h, dst_caps[i])
         return h
 
 
@@ -206,13 +212,14 @@ class PinSAGE(nn.Module):
     num_classes: int
     num_layers: int
     dropout: float = 0.5
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: SampledBatch, feats, dst_caps, *, deterministic=True):
-        h = feats
+        h = feats if self.dtype is None else feats.astype(self.dtype)
         dims = [self.hidden_dim] * (self.num_layers - 1) + [self.num_classes]
         for i, (block, dim) in enumerate(zip(batch.blocks, dims)):
-            h = WeightedSAGEConv(self.hidden_dim, dim, self.dropout)(
+            h = WeightedSAGEConv(self.hidden_dim, dim, self.dropout, dtype=self.dtype)(
                 block, h, dst_caps[i], deterministic=deterministic
             )
         return h
@@ -227,10 +234,11 @@ class GAT(nn.Module):
     num_out_heads: int = 1
     dropout: float = 0.6
     attn_drop: float = 0.6
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, batch: SampledBatch, feats, dst_caps, *, deterministic=True):
-        h = feats
+        h = feats if self.dtype is None else feats.astype(self.dtype)
         heads = [self.num_heads] * (self.num_layers - 1) + [self.num_out_heads]
         for i, block in enumerate(batch.blocks):
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
@@ -242,20 +250,28 @@ class GAT(nn.Module):
                 heads[i],
                 attn_drop=self.attn_drop,
                 activation=act,
+                dtype=self.dtype,
             )(block, h, dst_caps[i], deterministic=deterministic)
             h = o.mean(axis=1) if last else o.reshape(o.shape[0], -1)
         return h
 
 
 def build_model(name: str, in_dim: int, hidden: int, num_classes: int,
-                num_layers: int, dropout: float = 0.5) -> nn.Module:
+                num_layers: int, dropout: float = 0.5,
+                dtype=None) -> nn.Module:
+    """dtype: compute dtype (e.g. jnp.bfloat16) — params stay float32
+    (flax default param_dtype), activations/matmuls run in `dtype`."""
     name = name.lower()
     if name == "gcn":
-        return GCN(in_dim, hidden, num_classes, num_layers, dropout)
+        return GCN(in_dim, hidden, num_classes, num_layers, dropout,
+                   dtype=dtype)
     if name in ("graphsage", "sage"):
-        return GraphSAGE(in_dim, hidden, num_classes, num_layers, dropout)
+        return GraphSAGE(in_dim, hidden, num_classes, num_layers, dropout,
+                         dtype=dtype)
     if name == "pinsage":
-        return PinSAGE(in_dim, hidden, num_classes, num_layers, dropout)
+        return PinSAGE(in_dim, hidden, num_classes, num_layers, dropout,
+                       dtype=dtype)
     if name == "gat":
-        return GAT(in_dim, hidden, num_classes, num_layers, dropout=dropout)
+        return GAT(in_dim, hidden, num_classes, num_layers, dropout=dropout,
+                   dtype=dtype)
     raise ValueError(f"unknown model {name}")

@@ -106,9 +106,12 @@ class _EngineBase:
             unique_caps=caps,
         )
         self.dst_caps = tuple(reversed(self.plan.num_input_cap))
+        self.compute_dtype = (
+            jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        )
         self.model = build_model(
             cfg.model, ds.feat_dim, cfg.num_hidden, ds.num_class,
-            self.plan.num_layer, cfg.dropout,
+            self.plan.num_layer, cfg.dropout, dtype=self.compute_dtype,
         )
 
     def _sample_one(self, graph, key, seeds, num_seeds,
@@ -217,7 +220,13 @@ class FactoredEngine(_EngineBase):
         repl_t = self.roles.trainer_replicated
         shard_t = self.roles.trainer_sharding
         if feat_on_trainer:
-            self.feat_t = jax.device_put(np.asarray(ds.feat), repl_t)
+            import ml_dtypes
+
+            _fdt = (ml_dtypes.bfloat16 if self.compute_dtype is not None
+                    else np.float32)
+            self.feat_t = jax.device_put(
+                np.asarray(ds.feat).astype(_fdt), repl_t
+            )
         else:
             self.feat_t = None
             if self.cache is not None:
@@ -518,7 +527,11 @@ class SGNNEngine(_EngineBase):
         self.repl, self.shard = repl, shard
 
         self.graph = _put_graph(ds, cfg, repl)
-        self.feat_dev = jax.device_put(np.asarray(ds.feat), repl)
+        import ml_dtypes
+
+        _fdt = (ml_dtypes.bfloat16 if self.compute_dtype is not None
+                else np.float32)
+        self.feat_dev = jax.device_put(np.asarray(ds.feat).astype(_fdt), repl)
         self.label_dev = jax.device_put(np.asarray(ds.label), repl)
 
         seed_cap = self.plan.num_input_cap[0]

@@ -39,6 +39,7 @@ def masked_cross_entropy(
     """
     valid = labels >= 0
     safe = jnp.maximum(labels, 0)
+    logits = logits.astype(jnp.float32)  # bf16 compute -> f32 loss
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, safe)
     n = jnp.maximum(jnp.sum(valid), 1)
     loss = jnp.sum(jnp.where(valid, ce, 0.0)) / n

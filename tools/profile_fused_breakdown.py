@@ -85,21 +85,47 @@ def main():
         ), steps, g, seeds,
     )
 
-    # 2. full sampling pipeline
-    scan_timer(
-        "multi_layer_sample", lambda i, g, s, n_: jnp.sum(
-            multi_layer_sample(key_of(i), g, s, n_, plan,
-                               cfg.sample_type).input_nodes
-        ), steps, g, seeds, num,
-    )
+    DEDUP = False   # mirror the engine's feat-on-device fast mode
+
+    # 2. full sampling pipeline — reduce over ALL outputs so nothing is
+    # DCE'd (blocks included; summing only input_nodes lets XLA delete
+    # the whole remap machinery and undercounts badly)
+    def sample_all(i, g, s, n_):
+        b = multi_layer_sample(key_of(i), g, s, n_, plan, cfg.sample_type,
+                               dedup_last_hop=DEDUP)
+        acc = jnp.sum(b.input_nodes) + jnp.sum(b.output_nodes)
+        for blk in b.blocks:
+            acc = acc + jnp.sum(blk.src_local) + jnp.sum(blk.dst_local)
+        return acc
+
+    scan_timer("multi_layer_sample (all outputs)", sample_all, steps, g,
+               seeds, num)
 
     # 3. sampling + feature gather
     def samp_gather(i, g, f, s, n_):
-        b = multi_layer_sample(key_of(i), g, s, n_, plan, cfg.sample_type)
-        return jnp.sum(device_gather(f, b.input_nodes))
+        b = multi_layer_sample(key_of(i), g, s, n_, plan, cfg.sample_type,
+                               dedup_last_hop=DEDUP)
+        acc = jnp.sum(device_gather(f, b.input_nodes))
+        for blk in b.blocks:
+            acc = acc + jnp.sum(blk.src_local).astype(jnp.float32)
+        return acc
 
     scan_timer("sample + feature gather", samp_gather, steps, g, feat,
                seeds, num)
+
+    # 3b. + forward pass only (no grad)
+    def samp_fwd(i, g, f, l, s, n_):
+        b = multi_layer_sample(key_of(i), g, s, n_, plan, cfg.sample_type,
+                               dedup_last_hop=DEDUP)
+        feats = device_gather(f, b.input_nodes)
+        logits = eng.model.apply(
+            {"params": eng.state.params}, b, feats, eng.dst_caps,
+            deterministic=True,
+        )
+        return jnp.sum(logits)
+
+    scan_timer("sample + gather + forward", samp_fwd, steps, g, feat,
+               label, seeds, num)
 
     # 4. feature gather alone (random ids)
     def gather_only(i, f):
@@ -141,7 +167,7 @@ def main():
     # carry to be safe.
     def fused_body(i, g, f, l, st):
         batch = multi_layer_sample(key_of(i), g, seeds, num, plan,
-                                   cfg.sample_type)
+                                   cfg.sample_type, dedup_last_hop=DEDUP)
         feats = device_gather(f, batch.input_nodes)
         labels = label_gather(l, batch.output_nodes)
         from fgnn_tpu.train.loop import make_train_step
