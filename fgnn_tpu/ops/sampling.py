@@ -225,10 +225,11 @@ def _weighted_prefix(
 
 
 # lane width for blocked 1D gathers from the CSR indices array: element
-# gathers on TPU serialize badly; gathering an aligned 32-lane row and
-# selecting the lane on the VPU is ~6x faster. Engines pad `indices` to a
-# multiple of this.
-INDICES_LANE = 32
+# gathers on TPU serialize badly; gathering an aligned row of this many
+# lanes and selecting on the VPU is much faster. Narrower rows cut the
+# [M, LANE] intermediate traffic, wider rows amortize per-row gather
+# latency. Engines pad `indices` to a multiple of this.
+INDICES_LANE = int(_os.environ.get("FGNN_TPU_INDICES_LANE", "32"))
 
 
 def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
