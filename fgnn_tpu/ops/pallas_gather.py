@@ -57,8 +57,10 @@ def _gather_kernel(ids_smem, ids_vmem, table_hbm, out_ref, sems):
 
     jax.lax.fori_loop(0, _NSEM, drain, 0)
 
-    # zero padded rows (id < 0)
-    valid = (ids_vmem[:] >= 0)[:, None]
+    # zero padded rows (id < 0). ids_vmem is [B, 1] — Mosaic cannot
+    # reshape a 1D bool vector to [B, 1], so the minor dim comes in
+    # pre-shaped and broadcasts against [B, D].
+    valid = ids_vmem[:, :] >= 0
     out_ref[:, :] = jnp.where(valid, out_ref[:, :], 0)
 
 
@@ -81,7 +83,7 @@ def gather_rows(
         num_scalar_prefetch=1,
         grid=(M // B,),
         in_specs=[
-            pl.BlockSpec((B,), lambda i, ids_s: (i,),
+            pl.BlockSpec((B, 1), lambda i, ids_s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
         ],
@@ -94,7 +96,7 @@ def gather_rows(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, D), table.dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, ids, table)
+    )(ids, ids.reshape(M, 1), table)
 
 
 def gather_rows_padded(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:

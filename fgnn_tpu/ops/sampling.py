@@ -229,7 +229,7 @@ def _weighted_prefix(
 # lanes and selecting on the VPU is much faster. Narrower rows cut the
 # [M, LANE] intermediate traffic, wider rows amortize per-row gather
 # latency. Engines pad `indices` to a multiple of this.
-INDICES_LANE = int(_os.environ.get("FGNN_TPU_INDICES_LANE", "32"))
+INDICES_LANE = int(_os.environ.get("FGNN_TPU_INDICES_LANE", "128"))
 
 
 def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
