@@ -27,12 +27,10 @@ _NSEM = 16
 
 
 def _gather_kernel(ids_smem, ids_vmem, table_hbm, out_ref, sems):
-    i = pl.program_id(0)
     B = out_ref.shape[0]
-    base = i * B
 
     def row_copy(j, slot):
-        rid = jnp.maximum(ids_smem[base + j], 0)
+        rid = jnp.maximum(ids_smem[j, 0], 0)
         return pltpu.make_async_copy(
             table_hbm.at[rid], out_ref.at[j], sems.at[slot]
         )
@@ -79,24 +77,25 @@ def gather_rows(
     assert M % B == 0, f"ids length {M} not a multiple of {B}"
     D = table.shape[1]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    # ids enter twice, BLOCKED per grid step (the full array is MBs and
+    # SMEM holds ~1MB): an SMEM copy for scalar DMA addressing and a VMEM
+    # copy for the vectorized padding mask.
+    return pl.pallas_call(
+        _gather_kernel,
         grid=(M // B,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda i, ids_s: (i, 0),
+            pl.BlockSpec((B, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((B, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
         ],
-        out_specs=pl.BlockSpec((B, D), lambda i, ids_s: (i, 0),
+        out_specs=pl.BlockSpec((B, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
-    )
-    return pl.pallas_call(
-        _gather_kernel,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, D), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_NSEM,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids, ids.reshape(M, 1), table)
+    )(ids.reshape(M, 1), ids.reshape(M, 1), table)
 
 
 def gather_rows_padded(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
