@@ -48,11 +48,23 @@ def np_multi_layer_sample(
         S = plan.num_input_cap[hop]
         cap = plan.num_unique_cap[hop]
         valid_in = cur >= 0
-        nbr = np.full((S, f), -1, dtype=np.int32)
-        if valid_in.any():
-            vs = cur[valid_in].astype(np.int64)
-            got, gv = np_sample_hop_vec(rng, indptr, indices, vs, f, replace)
-            nbr[valid_in] = np.where(gv, got, -1)
+        # native threaded sampler (cpu_sampling_khop0.cc analog) when the
+        # shared object is built; NumPy reference otherwise
+        from . import native
+
+        nat = native.sample_khop(
+            indptr, indices, cur[:S], f,
+            seed=int(rng.integers(0, 2**62)), replace=replace,
+        )
+        if nat is not None:
+            nbr = nat
+        else:
+            nbr = np.full((S, f), -1, dtype=np.int32)
+            if valid_in.any():
+                vs = cur[valid_in].astype(np.int64)
+                got, gv = np_sample_hop_vec(rng, indptr, indices, vs, f,
+                                            replace)
+                nbr[valid_in] = np.where(gv, got, -1)
         nbr_flat = nbr.reshape(-1)
 
         # dedup: seeds-first + new nodes ascending (hashtable invariant)

@@ -33,6 +33,13 @@ def _try_load() -> Optional[ctypes.CDLL]:
     lib.fgnn_gather_f32_partial.argtypes = [f32p, i64, i64, i32p, i64, i64, f32p]
     lib.fgnn_count_freq.argtypes = [i32p, i64, i64, i64p]
     lib.fgnn_rank_desc.argtypes = [i64p, i64, i32p]
+    try:
+        lib.fgnn_sample_khop.argtypes = [
+            i64p, i32p, i32p, i64, i64, ctypes.c_uint64,
+            ctypes.c_int32, i32p,
+        ]
+    except AttributeError:
+        pass  # stale .so without the sampler — python fallback used
     _lib = lib
     return lib
 
@@ -105,6 +112,35 @@ def count_freq(ids: np.ndarray, num_nodes: int,
         _ptr(counts, ctypes.c_int64),
     )
     return counts
+
+
+def sample_khop(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    inputs: np.ndarray,
+    fanout: int,
+    seed: int,
+    replace: bool = False,
+) -> Optional[np.ndarray]:
+    """Threaded host khop sampling (cpu_sampling_khop0.cc analog).
+
+    Returns [len(inputs), fanout] int32 neighbor picks (-1 padded), or
+    None when the native library is unavailable or fanout > 256 (callers
+    fall back to the NumPy reference sampler)."""
+    lib = _try_load()
+    if lib is None or fanout > 256 or not hasattr(lib, "fgnn_sample_khop"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    inputs = np.ascontiguousarray(inputs, dtype=np.int32)
+    out = np.empty((len(inputs), fanout), dtype=np.int32)
+    lib.fgnn_sample_khop(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(inputs, ctypes.c_int32), len(inputs), fanout,
+        ctypes.c_uint64(seed & (2**64 - 1)), ctypes.c_int32(int(replace)),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
 
 
 def rank_desc(counts: np.ndarray) -> np.ndarray:

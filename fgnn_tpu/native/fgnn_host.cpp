@@ -101,4 +101,57 @@ void fgnn_rank_desc(const int64_t* counts, int64_t num_nodes, int32_t* out) {
   std::memcpy(out, idx.data(), sizeof(int32_t) * num_nodes);
 }
 
+// Host khop sampling (cpu_sampling_khop0.cc analog): uniform without
+// replacement via Robert Floyd's algorithm, one thread per seed range.
+// seeds<0 produce all -1 slots. RNG: splitmix64 seeded by (seed, i) so
+// results are reproducible independent of thread count.
+static inline uint64_t splitmix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+void fgnn_sample_khop(const int64_t* indptr, const int32_t* indices,
+                      const int32_t* inputs, int64_t n_input, int64_t fanout,
+                      uint64_t seed, int32_t replace, int32_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_input; ++i) {
+    int32_t v = inputs[i];
+    int32_t* dst = out + i * fanout;
+    if (v < 0) {
+      for (int64_t j = 0; j < fanout; ++j) dst[j] = -1;
+      continue;
+    }
+    int64_t off = indptr[v];
+    int64_t deg = indptr[v + 1] - off;
+    uint64_t st = splitmix64(seed ^ (0x5851f42d4c957f2dull * (uint64_t)i));
+    if (deg <= 0) {
+      for (int64_t j = 0; j < fanout; ++j) dst[j] = -1;
+    } else if (replace) {
+      for (int64_t j = 0; j < fanout; ++j) {
+        st = splitmix64(st);
+        dst[j] = indices[off + (int64_t)(st % (uint64_t)deg)];
+      }
+    } else if (deg <= fanout) {
+      for (int64_t j = 0; j < deg; ++j) dst[j] = indices[off + j];
+      for (int64_t j = deg; j < fanout; ++j) dst[j] = -1;
+    } else {
+      // Floyd's algorithm: fanout distinct picks from [0, deg)
+      int64_t picks[256];  // fanout <= 256 enforced by caller
+      int64_t np = 0;
+      for (int64_t j = 0; j < fanout; ++j) {
+        int64_t J = deg - fanout + j;
+        st = splitmix64(st);
+        int64_t t = (int64_t)(st % (uint64_t)(J + 1));
+        bool dup = false;
+        for (int64_t k = 0; k < np; ++k)
+          if (picks[k] == t) { dup = true; break; }
+        picks[np++] = dup ? J : t;
+        dst[j] = indices[off + picks[np - 1]];
+      }
+    }
+  }
+}
+
 }  // extern "C"
