@@ -49,11 +49,14 @@ class FeatureCache:
         ranking: np.ndarray,            # hottest-first node permutation
         cache_percentage: float,
         num_node: int,
+        dtype=None,                     # staging dtype (jnp.bfloat16 halves
+                                        # host->device miss traffic)
     ):
         t = Timer()
         self.num_node = num_node
         self.num_cache = int(cache_percentage * num_node)
         self.cache_percentage = cache_percentage
+        self.dtype = dtype or jnp.float32
         cache_nodes = np.asarray(ranking[: self.num_cache], dtype=np.int32)
         # node id -> cache slot (or -1); the sampler-side hashtable
         # (SampleCacheTableInit, dist_engine.cc:193-229)
@@ -63,9 +66,10 @@ class FeatureCache:
         self.cache_table = jnp.asarray(table)
         # HBM-resident hot features (trainer-side blob, cache_manager_host.cc)
         if self.num_cache:
-            self.cache_data = jnp.asarray(feat_host[cache_nodes])
+            self.cache_data = jnp.asarray(feat_host[cache_nodes],
+                                          dtype=self.dtype)
         else:
-            self.cache_data = jnp.zeros((1, feat_host.shape[1]), jnp.float32)
+            self.cache_data = jnp.zeros((1, feat_host.shape[1]), self.dtype)
         self.feat_host = feat_host
         Profiler.get().log_init("init_build_cache", t.passed())
         log.info(
@@ -122,11 +126,17 @@ class FeatureCache:
         from .. import native
 
         if native.available() and self.feat_host.dtype == np.float32:
-            return native.gather_f32(self.feat_host, miss_ids, n_real=num_miss)
-        out = np.zeros((len(miss_ids), self.feat_host.shape[1]), dtype=np.float32)
-        if num_miss:
-            ids = miss_ids[:num_miss]
-            out[:num_miss] = self.feat_host[np.maximum(ids, 0)]
+            out = native.gather_f32(self.feat_host, miss_ids, n_real=num_miss)
+        else:
+            out = np.zeros((len(miss_ids), self.feat_host.shape[1]),
+                           dtype=np.float32)
+            if num_miss:
+                ids = miss_ids[:num_miss]
+                out[:num_miss] = self.feat_host[np.maximum(ids, 0)]
+        if self.dtype != jnp.float32:
+            import ml_dtypes
+
+            out = out.astype(ml_dtypes.bfloat16)   # halve the upload
         return out
 
     def hit_rate(self, index: MissCacheIndex) -> float:

@@ -23,9 +23,15 @@ def make_synthetic_dataset(
     train_frac: float = 0.1,
     seed: int = 0,
     power: float = 1.5,
+    neighbor_skew: float = 2.0,
     name: str = "synthetic",
 ) -> Dataset:
-    """Zipf-ish degree distribution so cache policies have hot vertices."""
+    """Zipf-ish degree distribution so cache policies have hot vertices.
+
+    ``neighbor_skew`` controls access concentration (u**skew neighbor
+    choice): 2.0 (default) is mild; 6-8 approaches papers100M-like
+    hot-set behavior where a 10-20% cache captures most accesses.
+    """
     rng = np.random.default_rng(seed)
     # degree ~ bounded pareto, mean scaled to avg_degree
     raw = rng.pareto(power, size=num_node) + 1.0
@@ -37,7 +43,7 @@ def make_synthetic_dataset(
     # preferential-ish attachment: bias neighbor choice toward low ids, then
     # permute ids so hot vertices are scattered
     u = rng.random(num_edge)
-    nbr = (u ** 2.0 * num_node).astype(np.int64)  # skew toward small
+    nbr = (u ** neighbor_skew * num_node).astype(np.int64)  # skew toward small
     perm = rng.permutation(num_node)
     indices = perm[np.minimum(nbr, num_node - 1)].astype(np.int32)
 

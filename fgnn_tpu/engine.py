@@ -169,6 +169,8 @@ class OneChipEngine:
                 np.asarray(ds.feat) if not hasattr(ds.feat, "filename")
                 else ds.feat,
                 ranking, cfg.cache_percentage, ds.num_node,
+                dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                       else None),
             )
 
         # --- opt-in runtime sanity checks (SAMGRAPH_SANITY_CHECK analog) --
@@ -404,7 +406,14 @@ class OneChipEngine:
             else:
                 t = Timer()
                 batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
-                in_nodes = np.asarray(batch.input_nodes)
+                # fetch input ids to host only when a host-side consumer
+                # needs them — the device->host link is the bottleneck of
+                # the split pipeline (see PERF.md)
+                in_nodes = None
+                if self.cache is None and self.dyn_cache is None:
+                    in_nodes = np.asarray(batch.input_nodes)
+                elif prof.log_node_access:
+                    in_nodes = np.asarray(batch.input_nodes)
                 prof.log_step(skey, "L1_sample_time", t.passed())
                 t.reset()
                 if self.dyn_cache is not None:
@@ -428,17 +437,18 @@ class OneChipEngine:
                         np.asarray(index.miss_ids), num_miss
                     )
                     feats = self.cache.combine(index, jnp.asarray(miss))
+                    itm = miss.dtype.itemsize
                     prof.log_step(
                         skey, "L1_miss_nbytes",
-                        float(num_miss * miss.shape[1] * 4),
+                        float(num_miss * miss.shape[1] * itm),
                     )
                     prof.log_epoch_add(
                         epoch, "epoch_miss_bytes",
-                        float(num_miss * miss.shape[1] * 4),
+                        float(num_miss * miss.shape[1] * itm),
                     )
                     prof.log_epoch_add(
                         epoch, "epoch_feature_bytes",
-                        float(len(in_nodes) * miss.shape[1] * 4),
+                        float(int(batch.num_input) * miss.shape[1] * itm),
                     )
                 else:
                     feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
@@ -454,7 +464,7 @@ class OneChipEngine:
                 losses.append(loss)
                 accs.append(acc)
                 prof.log_step(skey, "L1_train_time", t.passed())
-                if prof.log_node_access:
+                if prof.log_node_access and in_nodes is not None:
                     prof.log_node_access_batch(in_nodes)
         # one device sync at epoch end — losses force completion
         losses = [float(x) for x in losses]
