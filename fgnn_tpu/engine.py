@@ -348,6 +348,7 @@ class OneChipEngine:
             and self.sanity is None
             and cfg.profile_level < 2
             and not prof.log_node_access
+            and not prof.trace_enabled
         ):
             seeds_all, nums_all = self.shuffler.epoch_arrays(epoch)
             epoch_key = jax.random.fold_in(
@@ -395,6 +396,11 @@ class OneChipEngine:
                 self.state, loss, acc, n_edges, ovf = self.fused_step(
                     self.state, key, jnp.asarray(seeds), jnp.int32(n)
                 )
+                if prof.trace_enabled:
+                    # force completion so the event reflects device time
+                    _ = float(loss)
+                    prof.trace_event(skey, "train_fused",
+                                     t._start * 1e6, Timer.now_us())
                 losses.append(loss)
                 accs.append(acc)
                 num_inputs.append(n_edges)
@@ -415,6 +421,9 @@ class OneChipEngine:
                 elif prof.log_node_access:
                     in_nodes = np.asarray(batch.input_nodes)
                 prof.log_step(skey, "L1_sample_time", t.passed())
+                if prof.trace_enabled:
+                    prof.trace_event(skey, "sample", t._start * 1e6,
+                                     Timer.now_us())
                 t.reset()
                 if self.dyn_cache is not None:
                     feats = self.dyn_cache.extract(batch.input_nodes)
@@ -453,6 +462,9 @@ class OneChipEngine:
                 else:
                     feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
                 prof.log_step(skey, "L1_copy_time", t.passed())
+                if prof.trace_enabled:
+                    prof.trace_event(skey, "extract_copy", t._start * 1e6,
+                                     Timer.now_us())
                 prof.log_step(
                     skey, "L1_feature_bytes",
                     float(feats.size * feats.dtype.itemsize),
@@ -464,6 +476,10 @@ class OneChipEngine:
                 losses.append(loss)
                 accs.append(acc)
                 prof.log_step(skey, "L1_train_time", t.passed())
+                if prof.trace_enabled:
+                    _ = float(loss)
+                    prof.trace_event(skey, "train", t._start * 1e6,
+                                     Timer.now_us())
                 if prof.log_node_access and in_nodes is not None:
                     prof.log_node_access_batch(in_nodes)
         # one device sync at epoch end — losses force completion

@@ -192,6 +192,31 @@ class Profiler:
             {"key": key, "name": item, "ts": begin_us, "dur": end_us - begin_us}
         )
 
+    @property
+    def trace_enabled(self) -> bool:
+        import os
+
+        from .. import constants
+
+        return bool(os.environ.get(constants.ENV_DUMP_TRACE))
+
+    def trace_scope(self, key: int, item: str):
+        """Context manager emitting one TraceStepBegin/End pair."""
+        import contextlib
+        import time as _time
+
+        prof = self
+
+        @contextlib.contextmanager
+        def _scope():
+            t0 = _time.monotonic() * 1e6
+            try:
+                yield
+            finally:
+                prof.trace_event(key, item, t0, _time.monotonic() * 1e6)
+
+        return _scope()
+
     def dump_trace(self, path: str) -> None:
         """Chrome trace-event JSON (samgraph_dump_trace analog)."""
         events = [

@@ -17,3 +17,8 @@ class Timer:
 
     def passed_micro(self) -> float:
         return self.passed() * 1e6
+
+    @staticmethod
+    def now_us() -> float:
+        """Monotonic microseconds (TimePointMicro analog)."""
+        return time.perf_counter() * 1e6
