@@ -40,6 +40,35 @@ class MissCacheIndex:
     num_hit: jnp.ndarray       # scalar int32
 
 
+def miss_cache_index(
+    cache_table: jnp.ndarray, input_nodes: jnp.ndarray
+) -> MissCacheIndex:
+    """Pure jittable miss/hit split (GetMissCacheIndex analog). The table
+    enters as an argument so jitted callers don't embed it as an HLO
+    constant."""
+    valid = input_nodes >= 0
+    slot = jnp.where(
+        valid, cache_table[jnp.maximum(input_nodes, 0)], -1
+    )
+    hit = slot >= 0
+    miss = valid & ~hit
+    # stable partition: misses first, then hits, then padding
+    sort_key = jnp.where(miss, 0, jnp.where(hit, 1, 2)).astype(jnp.int32)
+    order = jnp.argsort(sort_key, stable=True)
+    rank = jnp.argsort(order, stable=True).astype(jnp.int32)
+    miss_ids = jnp.where(
+        sort_key[order] == 0, input_nodes[order], -1
+    ).astype(jnp.int32)
+    return MissCacheIndex(
+        miss_ids=miss_ids,
+        rank=rank,
+        hit=hit,
+        slot=slot,
+        num_miss=jnp.sum(miss).astype(jnp.int32),
+        num_hit=jnp.sum(hit).astype(jnp.int32),
+    )
+
+
 class FeatureCache:
     """Static feature cache (GPUCacheManager analog)."""
 
@@ -83,27 +112,7 @@ class FeatureCache:
         """Split ids into hits/misses (GetMissCacheIndex analog). Jittable;
         typically runs on the SAMPLER chip in arch5 so only the split
         crosses the queue."""
-        valid = input_nodes >= 0
-        slot = jnp.where(
-            valid, self.cache_table[jnp.maximum(input_nodes, 0)], -1
-        )
-        hit = slot >= 0
-        miss = valid & ~hit
-        # stable partition: misses first, then hits, then padding
-        sort_key = jnp.where(miss, 0, jnp.where(hit, 1, 2)).astype(jnp.int32)
-        order = jnp.argsort(sort_key, stable=True)
-        rank = jnp.argsort(order, stable=True).astype(jnp.int32)
-        miss_ids = jnp.where(
-            sort_key[order] == 0, input_nodes[order], -1
-        ).astype(jnp.int32)
-        return MissCacheIndex(
-            miss_ids=miss_ids,
-            rank=rank,
-            hit=hit,
-            slot=slot,
-            num_miss=jnp.sum(miss).astype(jnp.int32),
-            num_hit=jnp.sum(hit).astype(jnp.int32),
-        )
+        return miss_cache_index(self.cache_table, input_nodes)
 
     def combine(
         self,

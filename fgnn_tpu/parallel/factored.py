@@ -212,6 +212,25 @@ class FactoredEngine(_EngineBase):
         self.single_sample = single_sample
         self.cache = self._build_cache(single_sample, boot_shuffler)
 
+        # sampler-side miss/cache split (DoGetCacheMissIndex,
+        # dist_loops.cc:271-323): the cache table lives with the samplers;
+        # only the index lists cross to the trainers
+        self.index_wave = None
+        if self.cache is not None:
+            from ..cache.manager import miss_cache_index
+
+            self._cache_table_s = jax.device_put(
+                np.asarray(self.cache.cache_table), repl_s
+            )
+            self._index_wave_g = jax.jit(
+                jax.vmap(miss_cache_index, in_axes=(None, 0)),
+                in_shardings=(repl_s, shard_s),
+                out_shardings=shard_s,
+            )
+            self.index_wave = lambda ids: self._index_wave_g(
+                self._cache_table_s, ids
+            )
+
         # --- trainer side (TrainInit analog, dist_engine.cc:366-465) -----
         feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * 4
         if feat_on_trainer is None:
@@ -327,25 +346,30 @@ class FactoredEngine(_EngineBase):
             state, label_table, batches, feats, keys
         )
 
-    def _feats_for(self, batch_t):
+    def _feats_for(self, batch_t, index=None):
         """Feature extraction on the trainer side for one batch (already on
-        trainer mesh)."""
+        trainer mesh). `index` is the sampler-computed miss/cache split
+        (DoGetCacheMissIndex) when available."""
         if self.feat_on_trainer:
             return device_gather(self.feat_t, batch_t.input_nodes)
         assert self.cache is not None, (
             "host-resident features require a cache in factored mode"
         )
         # trainer-side miss handling (DoCacheFeatureCopy analog)
-        ids = np.asarray(batch_t.input_nodes)
-        index = self.cache.get_miss_cache_index(jnp.asarray(ids))
+        if index is None:
+            ids = np.asarray(batch_t.input_nodes)
+            index = self.cache.get_miss_cache_index(jnp.asarray(ids))
         num_miss = int(index.num_miss)
         miss = self.cache.host_extract_miss(np.asarray(index.miss_ids), num_miss)
         miss_t = jax.device_put(miss, self.roles.trainer_replicated)
         prof = Profiler.get()
+        itm = miss.dtype.itemsize
         prof.log_epoch_add(self._cur_epoch, "epoch_miss_bytes",
-                           float(num_miss * miss.shape[1] * 4))
-        prof.log_epoch_add(self._cur_epoch, "epoch_feature_bytes",
-                           float(len(ids) * miss.shape[1] * 4))
+                           float(num_miss * miss.shape[1] * itm))
+        prof.log_epoch_add(
+            self._cur_epoch, "epoch_feature_bytes",
+            float(int(batch_t.num_input) * miss.shape[1] * itm),
+        )
         return self.cache.combine(index, miss_t)
 
     def run_epoch(self, epoch: int) -> dict:
@@ -386,17 +410,25 @@ class FactoredEngine(_EngineBase):
                 jnp.stack(keys_l), jnp.asarray(np.stack(seeds_l)),
                 jnp.asarray(np.stack(nums_l)),
             )
-            in_flight.append((wave, len([1 for n in nums_l if int(n) > 0])))
+            # sampler-side miss/cache split ships WITH the batch
+            idx = (self.index_wave(wave.input_nodes)
+                   if self.index_wave is not None else None)
+            in_flight.append(
+                (wave, idx, len([1 for n in nums_l if int(n) > 0]))
+            )
             return True
 
         def drain_wave():
-            wave, n_real = in_flight.popleft()
+            wave, idx, n_real = in_flight.popleft()
             # cross the sampler->trainer boundary (the "global queue"):
             # one ICI/device transfer of the whole wave
             wave_t = jax.device_put(wave, repl_t)
+            idx_t = jax.device_put(idx, repl_t) if idx is not None else None
             for i in range(n_real):
                 b = jax.tree.map(lambda a: a[i], wave_t)
-                pending_batches.append(b)
+                ix = (jax.tree.map(lambda a: a[i], idx_t)
+                      if idx_t is not None else None)
+                pending_batches.append((b, ix))
 
         shard_t = self.roles.trainer_sharding
 
@@ -459,8 +491,9 @@ class FactoredEngine(_EngineBase):
         group = list(group)
         while len(group) < group_size:
             group.append(group[0])
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-        feats = jnp.stack([self._feats_for(b) for b in group])
+        batches = [b for b, _ix in group]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        feats = jnp.stack([self._feats_for(b, ix) for b, ix in group])
         # committed args must match the jit's in_shardings exactly
         stacked = jax.device_put(stacked, shard)
         feats = jax.device_put(feats, shard)
