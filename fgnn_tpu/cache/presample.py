@@ -70,3 +70,49 @@ def presample_ranking(
         presample_epoch, t.passed(), int(freq_np.max(initial=0)),
     )
     return ranking
+
+
+def presample_static_ranking(
+    sample_fn: Callable,
+    shuffler: EpochShuffler,
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    num_node: int,
+    presample_epoch: int = 1,
+    seed: int = 0,
+) -> np.ndarray:
+    """PRESAMPLE_STATIC (DoGPUSampleAllNeighbour, cuda_loops.cc:500-575):
+    count every CSR neighbor of the touched frontier instead of only the
+    sampled ones — a smoother estimate that is sampling-RNG independent.
+
+    Counting runs host-side (init-time only; the all-neighbor expansion
+    has data-dependent size, which the device path cannot express with
+    static shapes)."""
+    t = Timer()
+    base = jax.random.key(seed ^ 0x51BA11)
+    indptr = np.asarray(indptr)
+    indices = np.asarray(indices)
+    freq = np.zeros(num_node, dtype=np.int64)
+    for epoch in range(presample_epoch):
+        for seeds, n, step in shuffler.batches(epoch):
+            key = jax.random.fold_in(base, epoch * shuffler.num_step + step)
+            batch = sample_fn(key, jnp.asarray(seeds), jnp.int32(n))
+            ids = np.asarray(batch.input_nodes)
+            ids = ids[ids >= 0]
+            np.add.at(freq, ids, 1)
+            # expand to ALL neighbors of the frontier
+            starts = indptr[ids]
+            lens = (indptr[ids + 1] - starts).astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                base_off = np.repeat(np.cumsum(lens) - lens, lens)
+                flat = (
+                    np.repeat(starts, lens)
+                    + np.arange(total, dtype=np.int64) - base_off
+                )
+                np.add.at(freq, indices[flat], 1)
+    ranking = np.argsort(-freq, kind="stable").astype(np.int32)
+    Profiler.get().log_init("init_presample", t.passed())
+    log.info("presample-static: %d epochs in %.2fs", presample_epoch,
+             t.passed())
+    return ranking

@@ -150,9 +150,15 @@ class OneChipEngine:
         elif cfg.use_cache and not self.feat_on_device:
             _sg = jax.jit(lambda g, k, s, n: self._sample(g, k, s, n))
             sample_fn = lambda k, s, n: _sg(self.graph, k, s, n)
-            if cfg.cache_policy in (
-                CachePolicy.PRESAMPLE, CachePolicy.PRESAMPLE_STATIC
-            ):
+            if cfg.cache_policy == CachePolicy.PRESAMPLE_STATIC:
+                from .cache.presample import presample_static_ranking
+
+                ranking = presample_static_ranking(
+                    sample_fn, self.shuffler, indptr, np.asarray(ds.indices),
+                    ds.num_node, presample_epoch=cfg.presample_epoch,
+                    seed=cfg.seed,
+                )
+            elif cfg.cache_policy == CachePolicy.PRESAMPLE:
                 from .cache.presample import presample_ranking
 
                 ranking = presample_ranking(

@@ -133,7 +133,15 @@ class _EngineBase:
         cfg = self.cfg
         if not cfg.use_cache:
             return None
-        if cfg.cache_policy in (CachePolicy.PRESAMPLE, CachePolicy.PRESAMPLE_STATIC):
+        if cfg.cache_policy == CachePolicy.PRESAMPLE_STATIC:
+            from ..cache.presample import presample_static_ranking
+
+            ranking = presample_static_ranking(
+                sample_fn, shuffler, np.asarray(self.ds.indptr),
+                np.asarray(self.ds.indices), self.ds.num_node,
+                presample_epoch=cfg.presample_epoch, seed=cfg.seed,
+            )
+        elif cfg.cache_policy == CachePolicy.PRESAMPLE:
             ranking = presample_ranking(
                 sample_fn, shuffler, self.ds.num_node,
                 presample_epoch=cfg.presample_epoch, seed=cfg.seed,
@@ -141,7 +149,9 @@ class _EngineBase:
         else:
             ranking = build_ranking(self.ds, cfg.cache_policy, cfg.seed)
         return FeatureCache(
-            self.ds.feat, ranking, cfg.cache_percentage, self.ds.num_node
+            self.ds.feat, ranking, cfg.cache_percentage, self.ds.num_node,
+            dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else None),
         )
 
 
