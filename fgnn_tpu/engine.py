@@ -222,6 +222,7 @@ class OneChipEngine:
                 num_random_walk=cfg.num_random_walk,
                 random_walk_length=cfg.random_walk_length,
                 restart_prob=cfg.random_walk_restart_prob,
+                dedup_last_hop=dedup_last_hop,
             )
         return multi_layer_sample(
             key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
@@ -266,7 +267,7 @@ class OneChipEngine:
             # HBM-resident features: skip last-hop dedup (see
             # multi_layer_sample docstring) — duplicate feature-row reads
             # are cheaper than the dedup sort+unscatter at these sizes
-            dedup = cfg.sample_type == SampleType.RANDOM_WALK
+            dedup = False
 
             def fused_step(state, graph, feat, label, key, seeds, num_seeds):
                 batch = self._sample(graph, key, seeds, num_seeds,

@@ -110,11 +110,14 @@ def random_walk_topk(
     num_random_walk: int = 4,
     random_walk_length: int = 3,
     restart_prob: float = 0.5,
+    dedup_last_hop: bool = True,
 ) -> SampledBatch:
     """Multi-layer PinSAGE sampling (DoGPUSample with random_walk type).
 
     Every hop's fanout is plan.fanouts[hop] == K (num_neighbor); edge
     weights are visit counts consumed by WeightedSAGEConv.
+    ``dedup_last_hop=False`` mirrors multi_layer_sample's fast mode for
+    HBM-resident features.
     """
     cur = seeds
     num_cur = num_seeds
@@ -132,9 +135,23 @@ def random_walk_topk(
         weights = w.reshape(-1)
         valid = nbrs >= 0
 
-        unique, num_unique, src_local, ovf = unique_and_remap(
-            cur, num_cur, nbrs, plan.num_unique_cap[hop]
-        )
+        if hop == plan.num_layer - 1 and not dedup_last_hop:
+            S = cur.shape[0]
+            E = nbrs.shape[0]
+            src_local = jnp.where(
+                valid,
+                S + jax.lax.broadcasted_iota(
+                    jnp.int32, (E, 1), 0
+                ).squeeze(-1),
+                -1,
+            )
+            unique = jnp.concatenate([cur, jnp.where(valid, nbrs, -1)])
+            num_unique = num_cur + jnp.sum(valid).astype(jnp.int32)
+            ovf = jnp.zeros((), bool)
+        else:
+            unique, num_unique, src_local, ovf = unique_and_remap(
+                cur, num_cur, nbrs, plan.num_unique_cap[hop]
+            )
         overflowed = overflowed | ovf
         dst_local = jax.lax.broadcasted_iota(
             jnp.int32, (plan.num_input_cap[hop], K), 0

@@ -123,6 +123,7 @@ class _EngineBase:
                 num_random_walk=cfg.num_random_walk,
                 random_walk_length=cfg.random_walk_length,
                 restart_prob=cfg.random_walk_restart_prob,
+                dedup_last_hop=dedup_last_hop,
             )
         return multi_layer_sample(
             key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
@@ -605,7 +606,7 @@ class SGNNEngine(_EngineBase):
 
         # features are chip-resident in SGNN -> last-hop dedup is a net
         # loss (see multi_layer_sample docstring)
-        dedup = cfg.sample_type == SampleType.RANDOM_WALK
+        dedup = False
 
         def fused_wave(state, graph, feat, label, keys, seeds, nums):
             # graph/feat/label are jit ARGUMENTS (HLO-constant blowup
