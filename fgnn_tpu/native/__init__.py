@@ -18,12 +18,27 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libfgnn_host.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+_build_attempted = False
+
+
 def _try_load() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _build_attempted
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB_PATH):
-        return None
+        # .so files are gitignored — compile once on first use
+        if _build_attempted:
+            return None
+        _build_attempted = True
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.dirname(__file__)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+        if not os.path.exists(_LIB_PATH):
+            return None
     lib = ctypes.CDLL(_LIB_PATH)
     i64 = ctypes.c_int64
     f32p = ctypes.POINTER(ctypes.c_float)
