@@ -226,6 +226,10 @@ class _Session:
     def report_step_average(self, epoch: int, step: int) -> str:
         return Profiler.get().report_step_average(epoch, step)
 
+    def report_init(self) -> str:
+        """samgraph_report_init analog."""
+        return Profiler.get().report_init()
+
     def get_log_epoch_value(self, epoch: int, item: str) -> float:
         return Profiler.get().get_epoch_value(epoch, item)
 
@@ -253,6 +257,8 @@ extract_start = _session.extract_start
 sample_once = _session.sample_once
 get_next_batch = _session.get_next_batch
 get_blocks = _session.get_blocks
+get_dgl_blocks = _session.get_blocks         # migration alias (adapter.py name)
+get_dgl_blocks_with_weights = _session.get_blocks  # weights ride on Block.weights
 get_graph_num_src = _session.get_graph_num_src
 get_graph_num_dst = _session.get_graph_num_dst
 get_graph_input_nodes = _session.get_graph_input_nodes
@@ -264,6 +270,7 @@ feat_dim = _session.feat_dim
 num_epoch = _session.num_epoch
 steps_per_epoch = _session.steps_per_epoch
 report_step_average = _session.report_step_average
+report_init = _session.report_init
 get_log_epoch_value = _session.get_log_epoch_value
 get_log_step_value = _session.get_log_step_value
 dump_trace = _session.dump_trace
