@@ -266,8 +266,11 @@ class OneChipEngine:
         if self.feat_on_device:
             # HBM-resident features: skip last-hop dedup (see
             # multi_layer_sample docstring) — duplicate feature-row reads
-            # are cheaper than the dedup sort+unscatter at these sizes
-            dedup = False
+            # are cheaper than the dedup sort+unscatter at these sizes.
+            # EXCEPT GCN: its 1/sqrt(out_degree) source normalization
+            # counts block occurrences, which dedup-skipping changes
+            # (mean/weighted-mean/softmax aggregations are invariant).
+            dedup = cfg.model == "gcn"
 
             def fused_step(state, graph, feat, label, key, seeds, num_seeds):
                 batch = self._sample(graph, key, seeds, num_seeds,

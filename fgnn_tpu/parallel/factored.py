@@ -605,8 +605,9 @@ class SGNNEngine(_EngineBase):
         model, dst_caps = self.model, self.dst_caps
 
         # features are chip-resident in SGNN -> last-hop dedup is a net
-        # loss (see multi_layer_sample docstring)
-        dedup = False
+        # loss (see multi_layer_sample docstring); GCN keeps dedup (its
+        # out-degree normalization is not duplicate-invariant)
+        dedup = cfg.model == "gcn"
 
         def fused_wave(state, graph, feat, label, keys, seeds, nums):
             # graph/feat/label are jit ARGUMENTS (HLO-constant blowup
