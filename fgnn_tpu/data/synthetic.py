@@ -48,7 +48,14 @@ def make_synthetic_dataset(
     indices = perm[np.minimum(nbr, num_node - 1)].astype(np.int32)
 
     feat = rng.standard_normal((num_node, feat_dim), dtype=np.float32)
-    label = rng.integers(0, num_class, size=num_node, dtype=np.int32)
+    # learnable labels: argmax of a random linear map of features plus
+    # noise — GNNs can actually converge on them (purely random labels
+    # flat-line accuracy curves, which defeats fig16a-style experiments)
+    w = rng.standard_normal((feat_dim, num_class)).astype(np.float32)
+    logits = feat @ w + 2.0 * rng.standard_normal(
+        (num_node, num_class)
+    ).astype(np.float32)
+    label = np.argmax(logits, axis=1).astype(np.int32)
 
     ids = rng.permutation(num_node).astype(np.int32)
     n_train = max(1, int(num_node * train_frac))
