@@ -13,8 +13,6 @@ gathers — ``out[i] = hit[i] ? cache_data[slot[i]] : miss_feat[rank[i]]``
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,7 @@ Multi-chip factored/SGNN engines live in fgnn_tpu.parallel.factored.
 """
 from __future__ import annotations
 
-import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -23,12 +22,12 @@ from .config import CachePolicy, RunConfig, SampleType
 from .data.schema import Dataset
 from .models import build_model
 from .ops.extract import device_gather, host_gather, label_gather
-from .ops.padding import SamplePlan, make_plan
+from .ops.padding import make_plan
 from .ops.reference_impl import calibrate_caps
 from .ops.sampling import CSRGraph, SampledBatch, multi_layer_sample
 from .ops.random_walk import random_walk_topk
 from .parallel.shuffler import EpochShuffler
-from .train.loop import TrainState, create_train_state, make_train_step, make_eval_step
+from .train.loop import create_train_state, make_train_step, make_eval_step
 from .utils import Timer, get_logger
 from .utils.profiler import Profiler
 

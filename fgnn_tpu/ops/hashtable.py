@@ -18,7 +18,6 @@ externally and INT32_MAX internally (so they sort to the end).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

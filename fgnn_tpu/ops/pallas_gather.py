@@ -88,7 +88,7 @@ def gather_rows(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((B, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # table stays in HBM
         ],
         out_specs=pl.BlockSpec((B, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),

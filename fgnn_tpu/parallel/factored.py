@@ -18,7 +18,7 @@ giving the same sample/train overlap with no threads.
 from __future__ import annotations
 
 from collections import deque
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +36,7 @@ from ..ops.padding import make_plan
 from ..ops.random_walk import random_walk_topk
 from ..ops.reference_impl import calibrate_caps
 from ..ops.sampling import CSRGraph, multi_layer_sample
-from ..parallel.mesh import RoleMesh, make_data_mesh, make_role_mesh
+from ..parallel.mesh import make_data_mesh, make_role_mesh
 from ..parallel.shuffler import (
     AlignedDistShuffler,
     DistShuffler,

@@ -26,13 +26,13 @@ Block pytrees plus feats/labels ready for a Flax model.
 from __future__ import annotations
 
 import queue
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import RunArch, RunConfig, SampleType
+from .config import RunArch, RunConfig
 from .data import load_dataset, make_synthetic_dataset
 from .ops.extract import device_gather, host_gather, label_gather
 from .utils import get_logger
