@@ -387,6 +387,19 @@ class OneChipEngine:
                 "sampled_edges": int(stats[2]),
             }
 
+        # pipelined split path (arch2/3 w/ cache): overlap the host miss
+        # gather + upload of step k+1 with device training of step k —
+        # the reference's SampleSubLoop ∥ DataCopySubLoop background
+        # threads (cuda_loops_arch3.cc:178-216) as a 2-stage pipeline
+        if (
+            self.cache is not None
+            and cfg.pipeline
+            and self.sanity is None
+            and not prof.log_node_access
+            and not prof.trace_enabled
+        ):
+            return self._run_epoch_split_pipelined(epoch)
+
         losses, accs = [], []
         num_inputs = []
         base = jax.random.key(cfg.seed)
@@ -510,6 +523,84 @@ class OneChipEngine:
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.shuffler.num_step,
             "sampled_edges": sampled_edges,
+        }
+
+    def _run_epoch_split_pipelined(self, epoch: int) -> dict:
+        """Cache-mode epoch with a 2-stage pipeline: stage A (device
+        sample + miss index + host gather + async upload) runs one step
+        ahead of stage B (combine + train). The host gather happens on a
+        worker thread; jax async dispatch overlaps the device work."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.cfg
+        prof = Profiler.get()
+        t_epoch = Timer()
+        base = jax.random.key(cfg.seed)
+        steps = list(self.shuffler.batches(epoch))
+        losses, accs = [], []
+        ex = ThreadPoolExecutor(max_workers=2)
+        try:
+            def stage_a(item):
+                seeds, n, step = item
+                key = jax.random.fold_in(
+                    base, epoch * self.shuffler.num_step + step
+                )
+                batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                index = self.cache.get_miss_cache_index(batch.input_nodes)
+
+                def host_part():
+                    # device fetch + host gather + async upload, all off
+                    # the main thread
+                    num_miss = int(index.num_miss)
+                    miss = self.cache.host_extract_miss(
+                        np.asarray(index.miss_ids), num_miss
+                    )
+                    return jax.device_put(miss), num_miss, miss.shape[1], \
+                        miss.dtype.itemsize
+
+                return key, batch, index, ex.submit(host_part)
+
+            pending = stage_a(steps[0])
+            for i in range(len(steps)):
+                key, batch, index, fut = pending
+                if i + 1 < len(steps):
+                    pending = stage_a(steps[i + 1])
+                miss_t, num_miss, fdim, itm = fut.result()
+                feats = self.cache.combine(index, miss_t)
+                self.state, loss, acc = self.train_jit(
+                    self.state, key, batch, feats
+                )
+                losses.append(loss)
+                accs.append(acc)
+                skey = prof.step_key(epoch, steps[i][2])
+                prof.log_step(skey, "L1_miss_nbytes",
+                              float(num_miss * fdim * itm))
+                prof.log_epoch_add(epoch, "epoch_miss_bytes",
+                                   float(num_miss * fdim * itm))
+                prof.log_epoch_add(
+                    epoch, "epoch_feature_bytes",
+                    float(int(batch.num_input) * fdim * itm),
+                )
+        finally:
+            ex.shutdown(wait=True)
+
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        epoch_time = t_epoch.passed()
+        prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.shuffler.num_step,
+            "sampled_edges": 0,
         }
 
     def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:
