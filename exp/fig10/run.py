@@ -3,6 +3,13 @@
 Reference: exp/fig10 — random/degree/presample/optimal hit rates per
 workload. We measure real hit rates by running the factored engine with
 host-resident features and each policy, sweeping cache percentage.
+
+NOTE on magnitudes: papers100M-like 90%+ hit rates require the batch
+receptive field to be SELECTIVE (a ~500K-node frontier inside a 111M-node
+graph dominated by hubs). On small smoke graphs the 2-hop frontier covers
+most of the graph, so hit rate degenerates toward the cache fraction for
+every policy — compare policies RELATIVELY (presample tracks optimal) and
+use >=1M nodes for absolute numbers.
 """
 import argparse
 import json
@@ -22,6 +29,8 @@ def main():
                    default=[0.01, 0.05, 0.1, 0.2])
     p.add_argument("--policies", nargs="+",
                    default=["random", "degree", "pre_sample"])
+    p.add_argument("--neighbor-skew", type=float, default=6.0,
+               help="access skew (6 ~ papers100M-like hot set)")
     p.add_argument("--cpu-mesh", action="store_true")
     args = p.parse_args()
 
@@ -43,7 +52,8 @@ def main():
     import jax.numpy as jnp
 
     ds = make_synthetic_dataset(num_node=args.synthetic_nodes, avg_degree=15,
-                                feat_dim=32, num_class=16, seed=0)
+                                feat_dim=32, num_class=16, seed=0,
+                                neighbor_skew=args.neighbor_skew)
     cfg = RunConfig(model="graphsage", fanout=(5, 10, 15), batch_size=8000,
                     num_hidden=32, sample_type=SampleType.KHOP2)
     eng = OneChipEngine(cfg, ds)

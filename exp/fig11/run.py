@@ -21,6 +21,8 @@ def main():
     p.add_argument("--synthetic-nodes", type=int, default=100_000)
     p.add_argument("--cache-percentage", type=float, default=0.1)
     p.add_argument("--num-epoch", type=int, default=3)
+    p.add_argument("--neighbor-skew", type=float, default=6.0,
+               help="access skew (6 ~ papers100M-like hot set)")
     p.add_argument("--cpu-mesh", action="store_true")
     args = p.parse_args()
 
@@ -42,7 +44,7 @@ def main():
 
     ds = make_synthetic_dataset(
         num_node=args.synthetic_nodes, avg_degree=15, feat_dim=64,
-        num_class=32, seed=0,
+        num_class=32, seed=0, neighbor_skew=args.neighbor_skew,
     )
     cfg = RunConfig(model="graphsage", fanout=(10, 10), batch_size=1000,
                     sample_type=SampleType.KHOP0, dropout=0.0)
