@@ -84,6 +84,7 @@ class FeatureCache:
         self.num_cache = int(cache_percentage * num_node)
         self.cache_percentage = cache_percentage
         self.dtype = dtype or jnp.float32
+        self.ranking = np.asarray(ranking, dtype=np.int32)
         cache_nodes = np.asarray(ranking[: self.num_cache], dtype=np.int32)
         # node id -> cache slot (or -1); the sampler-side hashtable
         # (SampleCacheTableInit, dist_engine.cc:193-229)

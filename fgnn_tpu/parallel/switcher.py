@@ -57,11 +57,23 @@ class SwitcherEngine(FactoredEngine):
         self.num_full = len(t_devs) + len(s_devs)
 
         self.label_full = jax.device_put(np.asarray(ds.label), self.full_repl)
-        # the switcher's own feature residency: reference gives the
-        # switcher GPU a separately-sized cache (switch_cache_percentage,
-        # train_pinsage.py:309). With replicated features the full mesh
-        # reuses the trainer copy; in cache mode the miss gather stays on
-        # the host and the combine output is resharded per group.
+        # the switcher's own feature residency: the reference gives the
+        # switcher GPU a separately-sized cache built from the SAME
+        # ranking (sam.switch_init(..., cache_percentage),
+        # train_pinsage.py:309; DoSwitchCacheFeatureCopy). Tail groups
+        # recompute their miss split against this cache — the shipped
+        # sampler-side index was classified against the trainer cache.
+        self.switch_cache = None
+        if self.cache is not None and cfg.switch_cache_percentage > 0:
+            from ..cache.manager import FeatureCache
+
+            self.switch_cache = FeatureCache(
+                self.cache.feat_host,
+                self.cache.ranking,
+                cfg.switch_cache_percentage,
+                ds.num_node,
+                dtype=self.cache.dtype,
+            )
         self.train_wave_full = self._make_train_wave(
             self.full_repl, self.full_shard, self.label_full
         )
@@ -70,22 +82,43 @@ class SwitcherEngine(FactoredEngine):
             "%d switchers)", self.num_full, len(t_devs), len(s_devs),
         )
 
+    _in_tail = False
+
+    def _feats_for(self, batch_t, index=None):
+        if self._in_tail and self.switch_cache is not None:
+            # tail groups include switcher chips whose cache is sized by
+            # switch_cache_percentage — reclassify against it (the shipped
+            # index was computed for the trainer cache)
+            import jax.numpy as jnp
+
+            ids = np.asarray(batch_t.input_nodes)
+            idx = self.switch_cache.get_miss_cache_index(jnp.asarray(ids))
+            miss = self.switch_cache.host_extract_miss(
+                np.asarray(idx.miss_ids), int(idx.num_miss)
+            )
+            return self.switch_cache.combine(idx, jax.device_put(miss))
+        return super()._feats_for(batch_t, index)
+
     def _train_tail(self, pending_batches, base, losses, accs):
         if not pending_batches:
             return
         W = self.num_full
         n_tail = len(pending_batches)
         state_full = jax.device_put(self.state, self.full_repl)
-        while pending_batches:
-            group = []
-            while pending_batches and len(group) < W:
-                group.append(pending_batches.popleft())
-            key = jax.random.fold_in(base, 0xD0 + len(losses))
-            state_full, loss, acc = self._run_group(
-                state_full, group, self.train_wave_full, self.full_shard,
-                W, key,
-            )
-            losses.append(loss)
-            accs.append(acc)
+        self._in_tail = True
+        try:
+            while pending_batches:
+                group = []
+                while pending_batches and len(group) < W:
+                    group.append(pending_batches.popleft())
+                key = jax.random.fold_in(base, 0xD0 + len(losses))
+                state_full, loss, acc = self._run_group(
+                    state_full, group, self.train_wave_full, self.full_shard,
+                    W, key,
+                )
+                losses.append(loss)
+                accs.append(acc)
+        finally:
+            self._in_tail = False
         self.state = jax.device_put(state_full, self.roles.trainer_replicated)
         log.debug("switcher tail: trained %d batches on %d chips", n_tail, W)
