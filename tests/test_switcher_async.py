@@ -70,6 +70,22 @@ def test_async_engine_matches_sync_direction(small_ds):
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
 
 
+def test_switcher_own_cache(small_ds):
+    """switch_cache_percentage builds a second, smaller cache used by
+    tail groups (DoSwitchCacheFeatureCopy analog)."""
+    from fgnn_tpu.config import CachePolicy
+    from fgnn_tpu.parallel.switcher import SwitcherEngine
+
+    cfg = _cfg(have_switcher=True, switch_cache_percentage=0.1,
+               cache_policy=CachePolicy.PRESAMPLE, cache_percentage=0.2)
+    eng = SwitcherEngine(cfg, small_ds, feat_on_trainer=False)
+    assert eng.switch_cache is not None
+    assert eng.switch_cache.num_cache < eng.cache.num_cache
+    r0 = eng.run_epoch(0)
+    r1 = eng.run_epoch(1)
+    assert np.isfinite(r0["loss"]) and r1["loss"] < r0["loss"]
+
+
 def test_session_switch_init():
     import fgnn_tpu.session as sam
 
