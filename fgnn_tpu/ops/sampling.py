@@ -250,6 +250,106 @@ def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     ).astype(table.dtype)
 
 
+# Region-row neighbor fetch: gather each frontier vertex's 3 aligned
+# 128-lane index rows (covers any deg whose range spans <= 3 rows, i.e.
+# deg <= 257+) and lane-select picks on the VPU; vertices with wider
+# ranges are compacted into HIGH_DEG_CAP slots with one row fetch per
+# pick. Cuts hop CSR row fetches from E (one per edge slot) to
+# ~3*V + 25*n_highdeg. Exact same sampling distribution — only the fetch
+# mechanism changes. Enable/disable via FGNN_TPU_REGION_FETCH.
+REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "1") not in (
+    "", "0", "false"
+)
+REGION_ROWS = 3
+HIGH_DEG_FRAC = 16  # HIGH_DEG_CAP = n_inputs // HIGH_DEG_FRAC
+
+
+def _region_fetch_neighbors(
+    graph: CSRGraph,
+    off: jnp.ndarray,           # [V] int (indptr[v])
+    deg: jnp.ndarray,           # [V] int32
+    idx: jnp.ndarray,           # [V, F] int32 in-range picks (or <0 invalid)
+) -> jnp.ndarray:
+    """indices[off[v] + idx[v, j]] via region rows + high-degree slots."""
+    LANE = INDICES_LANE
+    V, F = idx.shape
+    rows = graph.indices.reshape(-1, LANE)
+    n_rows = rows.shape[0]
+    r0 = (off // LANE).astype(jnp.int32)
+
+    # does [off, off+deg) fit in REGION_ROWS aligned rows?
+    last_row = ((off + jnp.maximum(deg, 1) - 1) // LANE).astype(jnp.int32)
+    span = last_row - r0 + 1
+    low = span <= REGION_ROWS
+
+    # --- low-degree: 3 region rows per vertex -------------------------
+    row_ids = jnp.clip(
+        r0[:, None]
+        + jax.lax.broadcasted_iota(jnp.int32, (V, REGION_ROWS), 1),
+        0, n_rows - 1,
+    )
+    region = jnp.take(rows, row_ids.reshape(-1), axis=0).reshape(
+        V, REGION_ROWS, LANE
+    )
+    flat = off[:, None] + jnp.maximum(idx, 0).astype(off.dtype)  # [V, F]
+    rel_row = (flat // LANE).astype(jnp.int32) - r0[:, None]     # [V, F]
+    lane = (flat % LANE).astype(jnp.int32)
+    # select region[v, rel_row[v,j], lane[v,j]]: per region row, a fused
+    # broadcast-compare-reduce lane select (same pattern as
+    # take_1d_blocked, which XLA fuses without materializing [V,F,LANE]),
+    # then a 3-way where on the row index
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (V, F, LANE), 2)
+    lane_onehot = lane_iota == lane[:, :, None]
+    low_vals = jnp.zeros((V, F), dtype=graph.indices.dtype)
+    for r in range(REGION_ROWS):
+        v_r = jnp.sum(
+            jnp.where(lane_onehot, region[:, r, :][:, None, :], 0), axis=2
+        )
+        low_vals = jnp.where(rel_row == r, v_r, low_vals)
+
+    # --- high-degree: compact into HCAP slots, one row per pick -------
+    HCAP = max(V // HIGH_DEG_FRAC, 8)
+    high = ~low
+    slot = jnp.cumsum(high.astype(jnp.int32)) - 1                # [V]
+    n_high = jnp.sum(high)
+    in_cap = high & (slot < HCAP)
+    tgt = jnp.where(in_cap, slot, HCAP)                          # drop beyond
+    flat_h = jnp.zeros((HCAP + 1, F), dtype=flat.dtype).at[tgt].set(
+        flat, mode="drop"
+    )[:HCAP]
+    row_h = jnp.clip((flat_h // LANE).astype(jnp.int32), 0, n_rows - 1)
+    lane_h = (flat_h % LANE).astype(jnp.int32)
+    rows_h = jnp.take(rows, row_h.reshape(-1), axis=0).reshape(
+        HCAP, F, LANE
+    )
+    lane_iota_h = jax.lax.broadcasted_iota(jnp.int32, (HCAP, F, LANE), 2)
+    high_vals_slots = jnp.sum(
+        jnp.where(lane_iota_h == lane_h[:, :, None], rows_h, 0), axis=2
+    )                                                            # [HCAP, F]
+    # route back: vertex v (high) reads its slot row
+    slot_c = jnp.clip(slot, 0, HCAP - 1)
+    high_vals = jnp.take(high_vals_slots, slot_c, axis=0)        # [V, F]
+
+    # vertices beyond HCAP (extremely skewed frontier) fall back to the
+    # direct blocked gather for their picks — correctness over speed
+    overflow = high & (slot >= HCAP)
+    need_fallback = jnp.any(overflow)
+
+    def with_fallback(_):
+        fb = take_1d_blocked(graph.indices, flat.reshape(-1)).reshape(V, F)
+        return jnp.where(overflow[:, None], fb, 0)
+
+    fb_vals = jax.lax.cond(
+        need_fallback, with_fallback, lambda _: jnp.zeros_like(low_vals),
+        operand=None,
+    )
+    out = jnp.where(
+        low[:, None], low_vals,
+        jnp.where(overflow[:, None], fb_vals, high_vals),
+    )
+    return out
+
+
 def sample_layer(
     key: jax.Array,
     graph: CSRGraph,
@@ -287,9 +387,12 @@ def sample_layer(
     else:
         raise ValueError(f"sample_layer does not handle {sample_type}")
 
-    flat = off[:, None] + jnp.maximum(idx, 0).astype(ptr_dtype)
-    flat = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
-    nbr = take_1d_blocked(graph.indices, flat.reshape(-1))
+    if REGION_FETCH and graph.indices.shape[0] % INDICES_LANE == 0:
+        nbr = _region_fetch_neighbors(graph, off, deg, idx).reshape(-1)
+    else:
+        flat = off[:, None] + jnp.maximum(idx, 0).astype(ptr_dtype)
+        flat = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
+        nbr = take_1d_blocked(graph.indices, flat.reshape(-1))
     valid = valid.reshape(-1) & jnp.repeat(node_ok, fanout)
     return jnp.where(valid, nbr, -1), valid
 
