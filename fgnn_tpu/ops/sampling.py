@@ -256,8 +256,10 @@ def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # ranges are compacted into HIGH_DEG_CAP slots with one row fetch per
 # pick. Cuts hop CSR row fetches from E (one per edge slot) to
 # ~3*V + 25*n_highdeg. Exact same sampling distribution — only the fetch
-# mechanism changes. Enable/disable via FGNN_TPU_REGION_FETCH.
-REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "1") not in (
+# mechanism changes. DEFAULT OFF: the program (cond + scatter branches)
+# takes >20min to compile on the remote compile service, which would
+# stall benches; runtime win unmeasured. Opt in via FGNN_TPU_REGION_FETCH=1.
+REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "0") not in (
     "", "0", "false"
 )
 REGION_ROWS = 3
