@@ -23,11 +23,16 @@ def rank_by_degree(ds: Dataset) -> np.ndarray:
 
 
 def rank_by_degree_hop(ds: Dataset, num_hop: int = 2) -> np.ndarray:
-    """cache_by_degree_hop.cc: rank by expected multi-hop reach — we
-    approximate with degree + mean neighbor degree (one sparse pass)."""
+    """cache_by_degree_hop.cc: rank by expected multi-hop reach —
+    degree(v) + sum of degree(u) over v's neighbors u (one sparse pass:
+    segment-sum of neighbor out-degrees per source vertex)."""
     deg = ds.degrees().astype(np.float64)
-    nbr_deg_sum = np.zeros(ds.num_node)
-    np.add.at(nbr_deg_sum, np.asarray(ds.indices), 1.0)
+    indptr = np.asarray(ds.indptr)
+    indices = np.asarray(ds.indices)
+    nbr_deg = deg[indices]
+    # sum per CSR segment; cumsum-diff avoids np.add.at's slow scatter
+    csum = np.concatenate([[0.0], np.cumsum(nbr_deg)])
+    nbr_deg_sum = csum[indptr[1:]] - csum[indptr[:-1]]
     score = deg + nbr_deg_sum
     return np.argsort(-score, kind="stable").astype(np.int32)
 

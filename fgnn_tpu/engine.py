@@ -53,6 +53,16 @@ class OneChipEngine:
 
         # --- topology to device (SampleDataCopy analog) -------------------
         indptr = np.asarray(ds.indptr)
+        if ds.num_edge >= 2**31 and not jax.config.jax_enable_x64:
+            # jnp.asarray would silently downcast int64 indptr to int32 and
+            # corrupt neighbor offsets — fail loudly instead (uk-union scale
+            # needs jax_enable_x64; see ADVICE r1)
+            raise ValueError(
+                f"graph has {ds.num_edge} >= 2^31 edges; int64 indptr "
+                "requires jax_enable_x64 "
+                "(jax.config.update('jax_enable_x64', True) before engine "
+                "construction)"
+            )
         ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
 
         def pad_lane(a):
@@ -235,11 +245,17 @@ class OneChipEngine:
         # big tables (graph/feat/label) enter every jitted fn as runtime
         # arguments, never closure constants — see _sample docstring
         self._sample_g = jax.jit(
-            lambda graph, key, seeds, n: self._sample(graph, key, seeds, n)
+            lambda graph, key, seeds, n, dedup: self._sample(
+                graph, key, seeds, n, dedup_last_hop=dedup
+            ),
+            static_argnums=(4,),
         )
-        self.sample_jit = lambda key, seeds, n: self._sample_g(
-            self.graph, key, seeds, n
+        self.sample_jit = lambda key, seeds, n, dedup=True: self._sample_g(
+            self.graph, key, seeds, n, dedup
         )
+        # dedup mode the actual train step uses — observability resamples
+        # (sanity / node-access) must match it batch-for-batch
+        self._train_dedup = True
 
         # init model params with one (cheap, any-key) sample
         seeds0, n0, _ = next(self.shuffler.batches(0))
@@ -270,6 +286,7 @@ class OneChipEngine:
             # counts block occurrences, which dedup-skipping changes
             # (mean/weighted-mean/softmax aggregations are invariant).
             dedup = cfg.model == "gcn"
+            self._train_dedup = dedup
 
             def fused_step(state, graph, feat, label, key, seeds, num_seeds):
                 batch = self._sample(graph, key, seeds, num_seeds,
@@ -341,6 +358,25 @@ class OneChipEngine:
             self.fused_step = None
 
     # ------------------------------------------------------------------
+    def _surface_overflow(self, epoch: int, overflowed: bool):
+        """Sampler cap overflow silently clips sampled nodes/edges — surface
+        it (warning + profiler counter; hard error under sanity mode).
+        `calibrate_caps` probes only 2 batches, so this is the runtime
+        backstop the padding contract promises (ops/padding.py)."""
+        if not overflowed:
+            return
+        prof = Profiler.get()
+        prof.log_epoch_add(epoch, "epoch_cap_overflow", 1.0)
+        msg = (
+            f"epoch {epoch}: sampler cap overflow — a batch exceeded the "
+            f"calibrated unique/edge caps {self.plan.num_unique_cap}/"
+            f"{self.plan.num_edge_cap} and was clipped (dropped neighbors). "
+            "Raise constants.ALLOC_SCALE or calibrate_caps num_probe."
+        )
+        if self.cfg.sanity_check or self.sanity is not None:
+            raise RuntimeError(msg)
+        log.warning(msg)
+
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         prof = Profiler.get()
@@ -368,8 +404,10 @@ class OneChipEngine:
                 jnp.asarray(nums_all),
             )
             stats = np.asarray(jnp.stack(
-                [loss, acc, edges.astype(jnp.float32)]
+                [loss, acc, edges.astype(jnp.float32),
+                 ovf.astype(jnp.float32)]
             ))  # single device fetch
+            self._surface_overflow(epoch, stats[3] > 0)
             epoch_time = t_epoch.passed()
             prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
             if (
@@ -402,15 +440,18 @@ class OneChipEngine:
 
         losses, accs = [], []
         num_inputs = []
+        ovfs = []
         base = jax.random.key(cfg.seed)
         for seeds, n, step in self.shuffler.batches(epoch):
             key = jax.random.fold_in(base, epoch * self.shuffler.num_step + step)
             skey = prof.step_key(epoch, step)
             if self.sanity is not None:
-                # deterministic RNG: resampling with the same key yields
-                # the exact batch the (possibly fused) step trains on
+                # deterministic RNG + same dedup mode: resampling with the
+                # same key yields the exact batch the (possibly fused) step
+                # trains on
                 self.sanity.check_batch(
-                    self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n)),
+                    self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n),
+                                    dedup=self._train_dedup),
                     self.plan,
                 )
             if self.fused_step is not None:
@@ -418,6 +459,7 @@ class OneChipEngine:
                 self.state, loss, acc, n_edges, ovf = self.fused_step(
                     self.state, key, jnp.asarray(seeds), jnp.int32(n)
                 )
+                ovfs.append(ovf)
                 if prof.trace_enabled:
                     # force completion so the event reflects device time
                     _ = float(loss)
@@ -428,12 +470,15 @@ class OneChipEngine:
                 num_inputs.append(n_edges)
                 prof.log_step(skey, "L1_train_time", t.passed())
                 if prof.log_node_access:
-                    # same key ⇒ identical batch as the fused step's
-                    b = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                    # same key + same dedup mode ⇒ identical batch (incl.
+                    # duplicate last-hop reads) as the fused step's
+                    b = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n),
+                                        dedup=self._train_dedup)
                     prof.log_node_access_batch(np.asarray(b.input_nodes))
             else:
                 t = Timer()
                 batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                ovfs.append(batch.overflowed)
                 # fetch input ids to host only when a host-side consumer
                 # needs them — the device->host link is the bottleneck of
                 # the split pipeline (see PERF.md)
@@ -507,6 +552,10 @@ class OneChipEngine:
         # one device sync at epoch end — losses force completion
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
+        if ovfs:
+            self._surface_overflow(
+                epoch, bool(np.any(np.asarray(jnp.stack(ovfs))))
+            )
         sampled_edges = int(sum(int(x) for x in num_inputs)) if num_inputs else 0
         epoch_time = t_epoch.passed()
         prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
@@ -537,7 +586,7 @@ class OneChipEngine:
         t_epoch = Timer()
         base = jax.random.key(cfg.seed)
         steps = list(self.shuffler.batches(epoch))
-        losses, accs = [], []
+        losses, accs, ovfs = [], [], []
         ex = ThreadPoolExecutor(max_workers=2)
         try:
             def stage_a(item):
@@ -546,6 +595,7 @@ class OneChipEngine:
                     base, epoch * self.shuffler.num_step + step
                 )
                 batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                ovfs.append(batch.overflowed)
                 index = self.cache.get_miss_cache_index(batch.input_nodes)
 
                 def host_part():
@@ -586,6 +636,10 @@ class OneChipEngine:
 
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
+        if ovfs:
+            self._surface_overflow(
+                epoch, bool(np.any(np.asarray(jnp.stack(ovfs))))
+            )
         epoch_time = t_epoch.passed()
         prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
         if (

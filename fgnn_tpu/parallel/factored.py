@@ -57,6 +57,11 @@ log = get_logger(__name__)
 def _put_graph(ds: Dataset, cfg: RunConfig, sharding) -> CSRGraph:
     from ..ops.sampling import INDICES_LANE
 
+    if ds.num_edge >= 2**31 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"graph has {ds.num_edge} >= 2^31 edges; int64 indptr requires "
+            "jax_enable_x64 (see OneChipEngine)"
+        )
     ptr_dtype = np.int32 if ds.num_edge < 2**31 else np.int64
     def put(x, dtype=None):
         a = np.asarray(x)
@@ -129,6 +134,21 @@ class _EngineBase:
             key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
             dedup_last_hop=dedup_last_hop,
         )
+
+    def _surface_overflow(self, epoch: int, overflowed: bool):
+        """Warn (or raise under sanity mode) when any sampled batch clipped
+        its calibrated caps — silent truncation corrupts gradients."""
+        if not overflowed:
+            return
+        Profiler.get().log_epoch_add(epoch, "epoch_cap_overflow", 1.0)
+        msg = (
+            f"epoch {epoch}: sampler cap overflow — a batch exceeded "
+            f"unique/edge caps {self.plan.num_unique_cap}/"
+            f"{self.plan.num_edge_cap} and was clipped"
+        )
+        if self.cfg.sanity_check:
+            raise RuntimeError(msg)
+        log.warning(msg)
 
     def _build_cache(self, sample_fn, shuffler) -> Optional[FeatureCache]:
         cfg = self.cfg
@@ -396,6 +416,7 @@ class FactoredEngine(_EngineBase):
         pending_batches: deque = deque()
         in_flight: deque = deque()
         losses, accs = [], []
+        wave_ovfs = []
 
         def launch_wave():
             nonlocal live
@@ -431,6 +452,7 @@ class FactoredEngine(_EngineBase):
 
         def drain_wave():
             wave, idx, n_real = in_flight.popleft()
+            wave_ovfs.append(wave.overflowed)  # [S] bool, fetched at epoch end
             # cross the sampler->trainer boundary (the "global queue"):
             # one ICI/device transfer of the whole wave
             wave_t = jax.device_put(wave, repl_t)
@@ -474,6 +496,10 @@ class FactoredEngine(_EngineBase):
 
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
+        if wave_ovfs:
+            self._surface_overflow(
+                epoch, bool(np.any(np.asarray(jnp.stack(wave_ovfs))))
+            )
         epoch_time = t_epoch.passed()
         Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
         if (
@@ -625,15 +651,15 @@ class SGNNEngine(_EngineBase):
                     )
                     l, a = masked_cross_entropy(logits[:B], labels[:B])
                     w = (n > 0).astype(jnp.float32)
-                    return l * w, a * w, w
+                    return l * w, a * w, w, batch.overflowed
 
-                ls, accs, ws = jax.vmap(one)(keys, seeds, nums)
+                ls, accs, ws, ovfs = jax.vmap(one)(keys, seeds, nums)
                 wsum = jnp.maximum(ws.sum(), 1.0)
-                return ls.sum() / wsum, accs.sum() / wsum
+                return ls.sum() / wsum, (accs.sum() / wsum, ovfs.any())
 
-            (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
+            (loss, (acc, ovf)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
             updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
             return (
@@ -641,12 +667,13 @@ class SGNNEngine(_EngineBase):
                            step=state.step + 1),
                 loss,
                 acc,
+                ovf,
             )
 
         self._fused_wave_g = jax.jit(
             fused_wave,
             in_shardings=(repl, repl, repl, repl, shard, shard, shard),
-            out_shardings=(repl, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
             donate_argnums=(0,),
         )
         self.fused_wave = lambda state, keys, seeds, nums: self._fused_wave_g(
@@ -660,15 +687,15 @@ class SGNNEngine(_EngineBase):
                         nums_all):
             def body(st, inp):
                 keys, seeds, nums = inp
-                st, loss, acc = fused_wave(
+                st, loss, acc, ovf = fused_wave(
                     st, graph, feat, label, keys, seeds, nums
                 )
-                return st, (loss, acc)
+                return st, (loss, acc, ovf)
 
-            state, (losses, accs) = jax.lax.scan(
+            state, (losses, accs, ovfs) = jax.lax.scan(
                 body, state, (keys_all, seeds_all, nums_all)
             )
-            return state, losses.mean(), accs.mean()
+            return state, losses.mean(), accs.mean(), ovfs.any()
 
         # leading scan axis replicated; per-wave axis sharded over 'data'
         def seq(s):
@@ -678,7 +705,7 @@ class SGNNEngine(_EngineBase):
             epoch_fused,
             in_shardings=(repl, repl, repl, repl, seq(shard), seq(shard),
                           seq(shard)),
-            out_shardings=(repl, repl, repl),
+            out_shardings=(repl, repl, repl, repl),
             donate_argnums=(0,),
         )
         self.epoch_wave = (
@@ -687,6 +714,18 @@ class SGNNEngine(_EngineBase):
                 keys_all, seeds_all, nums_all,
             )
         )
+        # --- checkpoint/resume (parity with OneChip/Factored engines) -----
+        self.ckpt = None
+        self.start_epoch = 0
+        if cfg.ckpt_dir:
+            from ..train.checkpoint import CheckpointManager
+
+            self.ckpt = CheckpointManager(cfg.ckpt_dir)
+            restored = self.ckpt.restore(self.state)
+            if restored is not None:
+                state_h, last_epoch = restored
+                self.state = jax.device_put(state_h, repl)
+                self.start_epoch = last_epoch + 1
         log.info("SGNNEngine: %d workers, %d local steps/epoch", W,
                  self.num_local_step)
 
@@ -714,16 +753,25 @@ class SGNNEngine(_EngineBase):
             ])
             for local in range(L)
         ]
-        self.state, loss, acc = self.epoch_wave(
+        self.state, loss, acc, ovf = self.epoch_wave(
             self.state,
             jnp.stack(key_rows),
             jnp.asarray(seeds_all),
             jnp.asarray(nums_all),
         )
-        stats = np.asarray(jnp.stack([loss, acc]))  # one fetch
+        stats = np.asarray(jnp.stack(
+            [loss, acc, ovf.astype(jnp.float32)]
+        ))  # one fetch
         losses, accs = [float(stats[0])], [float(stats[1])]
+        self._surface_overflow(epoch, stats[2] > 0)
         epoch_time = t_epoch.passed()
         Profiler.get().log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
         return {
             "epoch": epoch,
             "epoch_time": epoch_time,
