@@ -41,12 +41,34 @@ def _tiny_plan_engine(ds):
     return eng
 
 
-def test_fused_epoch_overflow_warns(ds, capfd):
+class _Collect(list):
+    """Minimal logging handler that records messages."""
+
+    level = 0
+
+    def handle(self, record):
+        self.append(record.getMessage())
+
+
+def _watch(logger_name="fgnn_tpu.engine"):
+    import logging
+
+    h = _Collect()
+    logging.getLogger(logger_name).addHandler(h)
+    return h
+
+
+def test_fused_epoch_overflow_warns(ds):
+    import logging
+
     eng = _tiny_plan_engine(ds)
-    stats = eng.run_epoch(0)
+    h = _watch()
+    try:
+        stats = eng.run_epoch(0)
+    finally:
+        logging.getLogger("fgnn_tpu.engine").removeHandler(h)
     assert np.isfinite(stats["loss"])
-    err = capfd.readouterr().err
-    assert "cap overflow" in err, (
+    assert any("cap overflow" in m for m in h), (
         "clipped batch did not produce an overflow warning"
     )
 
@@ -58,7 +80,9 @@ def test_overflow_raises_under_sanity_mode(ds):
         eng._surface_overflow(0, True)
 
 
-def test_no_false_positive(ds, capfd):
+def test_no_false_positive(ds):
+    import logging
+
     from fgnn_tpu.engine import OneChipEngine
 
     cfg = RunConfig(
@@ -66,5 +90,9 @@ def test_no_false_positive(ds, capfd):
         sample_type=SampleType.KHOP0, dropout=0.0,
     )
     eng = OneChipEngine(cfg, ds)
-    eng.run_epoch(0)
-    assert "cap overflow" not in capfd.readouterr().err
+    h = _watch()
+    try:
+        eng.run_epoch(0)
+    finally:
+        logging.getLogger("fgnn_tpu.engine").removeHandler(h)
+    assert not any("cap overflow" in m for m in h)
