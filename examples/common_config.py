@@ -52,6 +52,10 @@ def add_common_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-neighbor", type=int, default=5)
     p.add_argument("--num-layer", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile-level", type=int, default=1,
+                   help="1=headline timers (async-preserving); 2=per-stage "
+                        "timers (forces a sync at stage boundaries); "
+                        "3=per-kernel")
     p.add_argument("--validate-configs", action="store_true")
     p.add_argument("--report-acc", type=int, default=0,
                    help="evaluate test acc every N epochs (0=off)")
@@ -93,7 +97,11 @@ def build_run_config(args, model: str, default_sample: str) -> RunConfig:
         switch_cache_percentage=getattr(args, "switch_cache_percentage", 0.0),
         async_train=getattr(args, "async_train", False),
         async_sync_every=getattr(args, "async_sync_every", 1),
+        profile_level=getattr(args, "profile_level", 1),
     ).validate()
+    from fgnn_tpu.utils.profiler import Profiler
+
+    Profiler.get().level = max(Profiler.get().level, cfg.profile_level)
     return cfg
 
 

@@ -99,11 +99,20 @@ def main():
     log_test_result("epoch_time", f"{np.mean(steady):.4f}")
     log_test_result("epoch_time:min", f"{np.min(steady):.4f}")
     prof = Profiler.get()
-    log_test_result(
-        "sample_time", f"{prof.step_average('L1_sample_time'):.4f}"
-    )
-    log_test_result("copy_time", f"{prof.step_average('L1_copy_time'):.4f}")
-    log_test_result("train_time", f"{prof.step_average('L1_train_time'):.4f}")
+    # stage columns: per-epoch seconds (reference table5 convention);
+    # non-zero when --profile-level >= 2 wrote epoch stage items, else
+    # approximated from per-step L1 items where those were recorded
+    num_step = prof._num_step
+    for col, epoch_item, l1_item in (
+        ("sample_time", "epoch_sample_time", "L1_sample_time"),
+        ("copy_time", "epoch_copy_time", "L1_copy_time"),
+        ("extract_time", "epoch_extract_time", None),
+        ("train_time", "epoch_train_time", "L1_train_time"),
+    ):
+        v = prof.epoch_average(epoch_item)
+        if v == 0.0 and l1_item is not None:
+            v = prof.step_average(l1_item) * num_step
+        log_test_result(col, f"{v:.4f}")
     fb = prof.epoch_average("epoch_feature_bytes")
     mb = prof.epoch_average("epoch_miss_bytes")
     if fb > 0:

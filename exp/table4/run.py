@@ -59,9 +59,19 @@ def main():
                         f"{model}_{arch}", env=env)
             r.config["model"] = model
             r.config["run_arch"] = arch
+            # stage split from a second, profile-level-2 pass
+            rp = run_app(app + ["--profile-level", "2"],
+                         os.path.join(HERE, "run-logs"),
+                         f"{model}_{arch}_stages", env=env)
+            for k in ("sample_time", "copy_time", "extract_time",
+                      "train_time"):
+                if rp.values.get(k):
+                    r.values[k] = rp.values[k]
             results.append(r)
 
-    write_table(results, ["model", "run_arch", "epoch_time", "init_time"],
+    write_table(results,
+                ["model", "run_arch", "epoch_time", "sample_time",
+                 "copy_time", "extract_time", "train_time", "init_time"],
                 os.path.join(HERE, "table4.dat"))
     write_json(results, os.path.join(HERE, "table4.json"))
 

@@ -47,22 +47,37 @@ def main():
                     ["--num-sample-worker", "2",
                      "--num-train-worker", str(n - 2), "--have-switcher"]))
 
+    # SGNN (arch6) baseline row, reference table5's space-shared column
+    configs.append((f"SGNN-{n}w",
+                    ["--arch", "arch6", "--num-train-worker", str(n)]))
+
     results = []
     for tag, workers in configs:
         app = [
-            "examples/train_gnn.py", "--model", args.model, "--arch", "arch5",
+            "examples/train_gnn.py", "--model", args.model,
             "--dataset", args.dataset,
             "--synthetic-nodes", str(args.synthetic_nodes),
             "--num-epoch", str(args.num_epoch),
             "--batch-size", str(args.batch_size),
             "--fanout", "5", "10", "15",
-        ] + workers
+        ] + (workers if "--arch" in workers else ["--arch", "arch5"] + workers)
         r = run_app(app, os.path.join(HERE, "run-logs"), tag.replace("+", "_"),
                     env=env)
         r.config["split"] = tag
+        # second pass at profile level 2: per-stage split (stage timers
+        # force a sync per stage, so the headline epoch_time comes from
+        # the level-1 run above — the reference's profiled-run convention)
+        rp = run_app(app + ["--profile-level", "2"],
+                     os.path.join(HERE, "run-logs"),
+                     tag.replace("+", "_") + "_stages", env=env)
+        for k in ("sample_time", "copy_time", "extract_time", "train_time"):
+            if rp.values.get(k):
+                r.values[k] = rp.values[k]
         results.append(r)
 
-    write_table(results, ["split", "epoch_time", "sample_time", "train_time"],
+    write_table(results,
+                ["split", "epoch_time", "sample_time", "copy_time",
+                 "extract_time", "train_time"],
                 os.path.join(HERE, "table5.dat"))
     write_json(results, os.path.join(HERE, "table5.json"))
 

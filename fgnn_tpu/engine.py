@@ -28,7 +28,7 @@ from .ops.sampling import CSRGraph, SampledBatch, multi_layer_sample
 from .ops.random_walk import random_walk_topk
 from .parallel.shuffler import EpochShuffler
 from .train.loop import create_train_state, make_train_step, make_eval_step
-from .utils import Timer, get_logger
+from .utils import Timer, force_done, get_logger
 from .utils.profiler import Profiler
 
 log = get_logger(__name__)
@@ -278,6 +278,22 @@ class OneChipEngine:
             make_eval_step(self.model, self.dst_caps, cfg.batch_size)
         )
 
+        # train-only step (used by the split path, and by profile_level>=2
+        # de-fused stage timing on the HBM-resident path)
+        def train_only(state, label, key, batch, feats):
+            labels = label_gather(label, batch.output_nodes)
+            k_drop = jax.random.fold_in(key, 0x5eed)
+            new_state, loss, acc = train_step(
+                state, batch, feats, labels, k_drop
+            )
+            return new_state, loss, acc
+
+        self._train_g = jax.jit(train_only, donate_argnums=(0,))
+        self.train_jit = lambda state, key, batch, feats: self._train_g(
+            state, self.label_dev, key, batch, feats
+        )
+        self._gather_g = jax.jit(device_gather)
+
         if self.feat_on_device:
             # HBM-resident features: skip last-hop dedup (see
             # multi_layer_sample docstring) — duplicate feature-row reads
@@ -307,7 +323,6 @@ class OneChipEngine:
                 state, self.graph, self.feat_dev, self.label_dev,
                 key, seeds, n,
             )
-            self.train_jit = None
 
             # whole-epoch program: lax.scan over steps — ONE dispatch and
             # ONE stats fetch per epoch. Per-step Python dispatch pays a
@@ -345,16 +360,6 @@ class OneChipEngine:
                 )
             )
         else:
-            def train_only(state, label, key, batch, feats):
-                labels = label_gather(label, batch.output_nodes)
-                k_drop = jax.random.fold_in(key, 0x5eed)
-                new_state, loss, acc = train_step(state, batch, feats, labels, k_drop)
-                return new_state, loss, acc
-
-            self._train_g = jax.jit(train_only, donate_argnums=(0,))
-            self.train_jit = lambda state, key, batch, feats: self._train_g(
-                state, self.label_dev, key, batch, feats
-            )
             self.fused_step = None
 
     # ------------------------------------------------------------------
@@ -454,7 +459,7 @@ class OneChipEngine:
                                     dedup=self._train_dedup),
                     self.plan,
                 )
-            if self.fused_step is not None:
+            if self.fused_step is not None and cfg.profile_level < 2:
                 t = Timer()
                 self.state, loss, acc, n_edges, ovf = self.fused_step(
                     self.state, key, jnp.asarray(seeds), jnp.int32(n)
@@ -476,23 +481,40 @@ class OneChipEngine:
                                         dedup=self._train_dedup)
                     prof.log_node_access_batch(np.asarray(b.input_nodes))
             else:
+                # de-fused path: host-resident features always run here;
+                # profile_level>=2 routes the HBM-resident config here too
+                # so each stage gets a true timer (same keys + same dedup mode
+                # ⇒ identical training math as the fused program)
                 t = Timer()
-                batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
+                batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n),
+                                        dedup=self._train_dedup)
                 ovfs.append(batch.overflowed)
                 # fetch input ids to host only when a host-side consumer
                 # needs them — the device->host link is the bottleneck of
                 # the split pipeline (see PERF.md)
                 in_nodes = None
-                if self.cache is None and self.dyn_cache is None:
-                    in_nodes = np.asarray(batch.input_nodes)
-                elif prof.log_node_access:
-                    in_nodes = np.asarray(batch.input_nodes)
-                prof.log_step(skey, "L1_sample_time", t.passed())
+                if (
+                    not self.feat_on_device
+                    and self.cache is None
+                    and self.dyn_cache is None
+                ) or prof.log_node_access:
+                    in_nodes = np.asarray(batch.input_nodes)  # also syncs
+                elif cfg.profile_level >= 2:
+                    force_done(batch.num_input)
+                st = t.passed()
+                prof.log_step(skey, "L1_sample_time", st)
+                prof.log_epoch_add(epoch, "epoch_sample_time", st)
                 if prof.trace_enabled:
                     prof.trace_event(skey, "sample", t._start * 1e6,
                                      Timer.now_us())
                 t.reset()
-                if self.dyn_cache is not None:
+                if self.feat_on_device:
+                    feats = self._gather_g(self.feat_dev, batch.input_nodes)
+                    if cfg.profile_level >= 2:
+                        force_done(feats)
+                    prof.log_epoch_add(epoch, "epoch_extract_time",
+                                       t.passed())
+                elif self.dyn_cache is not None:
                     feats = self.dyn_cache.extract(batch.input_nodes)
                     prof.log_epoch_add(
                         epoch, "epoch_miss_bytes",
@@ -528,7 +550,10 @@ class OneChipEngine:
                     )
                 else:
                     feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
-                prof.log_step(skey, "L1_copy_time", t.passed())
+                ct = t.passed()
+                prof.log_step(skey, "L1_copy_time", ct)
+                if not self.feat_on_device:
+                    prof.log_epoch_add(epoch, "epoch_copy_time", ct)
                 if prof.trace_enabled:
                     prof.trace_event(skey, "extract_copy", t._start * 1e6,
                                      Timer.now_us())
@@ -540,9 +565,12 @@ class OneChipEngine:
                 self.state, loss, acc = self.train_jit(
                     self.state, key, batch, feats
                 )
+                if cfg.profile_level >= 2:
+                    force_done(loss)
                 losses.append(loss)
                 accs.append(acc)
                 prof.log_step(skey, "L1_train_time", t.passed())
+                prof.log_epoch_add(epoch, "epoch_train_time", t.passed())
                 if prof.trace_enabled:
                     _ = float(loss)
                     prof.trace_event(skey, "train", t._start * 1e6,

@@ -3,14 +3,22 @@
 Round 1 (`pallas_gather.py`) kept 16 DMAs in flight but issued them one
 fori_loop iteration at a time; the scalar core's per-iteration overhead
 (index math + start + wait bookkeeping) capped it at ~28M rows/s vs
-XLA's ~80M rows/s. This version:
+XLA's ~81M rows/s. This version:
 
 * statically unrolls the issue loop UNROLL rows per iteration — the loop
   bookkeeping amortizes over UNROLL DMA starts;
 * uses one semaphore slot per unroll GROUP (the group's copies all
   signal the same slot; the retire step waits them back-to-back), so
   slot math happens once per group;
-* keeps NGROUPS groups in flight (NGROUPS * UNROLL outstanding DMAs).
+* keeps NGROUPS groups in flight (NGROUPS * UNROLL outstanding DMAs);
+* stages each block's ids into SMEM with one DMA. Two layout traps:
+  windowed SMEM *inputs* are allocated at full-array size, and SMEM
+  allocations are tile-padded to (8, 128) — so the ids travel as a
+  (B/128, 128) tile (exactly B*4 bytes post-padding) and a separate
+  (B, 1) VMEM view provides the per-row validity mask;
+* optionally SKIPS the row DMA entirely for padding ids (< 0) — the
+  padded COO layout leaves ~40% of edge slots invalid on mid-degree
+  graphs, and XLA's gather pays full address cost for them.
 
 Zero rows for ids < 0 (padding), matching ``ops.extract.device_gather``.
 
@@ -25,28 +33,54 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_LANE = 128
 
-def _make_kernel(block_rows: int, unroll: int, ngroups: int):
+
+def _make_kernel(block_rows: int, unroll: int, ngroups: int,
+                 skip_invalid: bool):
     assert block_rows % unroll == 0
+    assert block_rows % _LANE == 0
 
-    def kernel(ids_smem, ids_vmem, table_hbm, out_ref, sems):
+    def kernel(ids_tile, ids_col, table_hbm, out_ref, ids_smem,
+               stage_sem, sems):
+        # stage this block's ids into SMEM (scalar loads need SMEM)
+        stage = pltpu.make_async_copy(ids_tile, ids_smem, stage_sem)
+        stage.start()
+        stage.wait()
+
         n_grp = block_rows // unroll
 
+        def rid_at(j):
+            return ids_smem[j // _LANE, j % _LANE]
+
         def copy(j, slot):
-            rid = jnp.maximum(ids_smem[j, 0], 0)
             return pltpu.make_async_copy(
-                table_hbm.at[rid], out_ref.at[j], sems.at[slot]
+                table_hbm.at[jnp.maximum(rid_at(j), 0)],
+                out_ref.at[j],
+                sems.at[slot],
             )
 
         def issue_group(g, slot):
             base = g * unroll
             for u in range(unroll):
-                copy(base + u, slot).start()
+                j = base + u
+                if skip_invalid:
+                    @pl.when(rid_at(j) >= 0)
+                    def _():
+                        copy(j, slot).start()
+                else:
+                    copy(j, slot).start()
 
         def retire_group(g, slot):
             base = g * unroll
             for u in range(unroll):
-                copy(base + u, slot).wait()
+                j = base + u
+                if skip_invalid:
+                    @pl.when(rid_at(j) >= 0)
+                    def _():
+                        copy(j, slot).wait()
+                else:
+                    copy(j, slot).wait()
 
         def body(g, _):
             slot = jax.lax.rem(g, ngroups)
@@ -67,14 +101,16 @@ def _make_kernel(block_rows: int, unroll: int, ngroups: int):
 
         jax.lax.fori_loop(0, min(ngroups, n_grp), drain, 0)
 
-        valid = ids_vmem[:, :] >= 0
+        # zero padding rows (their slots hold stale/garbage data)
+        valid = ids_col[:, :] >= 0
         out_ref[:, :] = jnp.where(valid, out_ref[:, :], 0)
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_rows", "unroll", "ngroups")
+    jax.jit,
+    static_argnames=("block_rows", "unroll", "ngroups", "skip_invalid"),
 )
 def gather_rows_v2(
     table: jnp.ndarray,
@@ -82,6 +118,7 @@ def gather_rows_v2(
     block_rows: int = 2048,
     unroll: int = 8,
     ngroups: int = 4,
+    skip_invalid: bool = False,
 ) -> jnp.ndarray:
     """out[i] = table[ids[i]] (zero row where ids[i] < 0).
 
@@ -90,18 +127,23 @@ def gather_rows_v2(
     B = block_rows
     assert M % B == 0, f"ids length {M} not a multiple of {B}"
     D = table.shape[1]
-    kernel = _make_kernel(B, unroll, ngroups)
+    kernel = _make_kernel(B, unroll, ngroups, skip_invalid)
     return pl.pallas_call(
         kernel,
         grid=(M // B,),
         in_specs=[
-            pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((B // _LANE, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # table stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table stays in HBM
         ],
         out_specs=pl.BlockSpec((B, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, D), table.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((ngroups,))],
+        scratch_shapes=[
+            pltpu.SMEM((B // _LANE, _LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((ngroups,)),
+        ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ids.reshape(M, 1), ids.reshape(M, 1), table)
+    )(ids.reshape(M // _LANE, _LANE), ids.reshape(M, 1), table)

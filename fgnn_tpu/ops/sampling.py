@@ -250,32 +250,41 @@ def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     ).astype(table.dtype)
 
 
-# Region-row neighbor fetch: gather each frontier vertex's 3 aligned
-# 128-lane index rows (covers any deg whose range spans <= 3 rows, i.e.
-# deg <= 257+) and lane-select picks on the VPU; vertices with wider
-# ranges are compacted into HIGH_DEG_CAP slots with one row fetch per
-# pick. Cuts hop CSR row fetches from E (one per edge slot) to
-# ~3*V + 25*n_highdeg. Exact same sampling distribution — only the fetch
-# mechanism changes. DEFAULT OFF: the program (cond + scatter branches)
-# takes >20min to compile on the remote compile service, which would
-# stall benches; runtime win unmeasured. Opt in via FGNN_TPU_REGION_FETCH=1.
-REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "0") not in (
+# Region-row table fetch: gather each frontier vertex's REGION_ROWS
+# aligned 128-lane rows of a per-edge table (covers any deg whose CSR
+# range spans <= REGION_ROWS rows; deg <= 129 always spans <= 2) and
+# lane-select picks on the VPU; vertices with wider ranges are compacted
+# into HCAP slots with one row fetch per pick. Cuts hop CSR row fetches
+# from E (one per edge slot, ~2.1M at fanout 25) to
+# ~REGION_ROWS*V + HCAP*F (~0.4M) — and TPU gathers are row-ADDRESS-rate
+# bound (~81M rows/s regardless of row bytes; see tools/gather_campaign),
+# so fewer rows is the only lever. Exact same sampling distribution —
+# only the fetch mechanism changes. A frontier with more than HCAP
+# wide-range vertices clips the extras and raises the overflow flag (the
+# sampler-cap contract, ops/padding.py) instead of the round-1 lax.cond
+# fallback that made the program un-compilable in reasonable time.
+REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "1") not in (
     "", "0", "false"
 )
 REGION_ROWS = 3
-HIGH_DEG_FRAC = 16  # HIGH_DEG_CAP = n_inputs // HIGH_DEG_FRAC
+HIGH_DEG_FRAC = int(_os.environ.get("FGNN_TPU_HIGH_DEG_FRAC", "8"))
 
 
-def _region_fetch_neighbors(
-    graph: CSRGraph,
+def _region_select(
+    table: jnp.ndarray,         # [E] lane-aligned 1-D per-edge table
     off: jnp.ndarray,           # [V] int (indptr[v])
     deg: jnp.ndarray,           # [V] int32
     idx: jnp.ndarray,           # [V, F] int32 in-range picks (or <0 invalid)
-) -> jnp.ndarray:
-    """indices[off[v] + idx[v, j]] via region rows + high-degree slots."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """table[off[v] + idx[v, j]] via region rows + high-degree slots.
+
+    Returns ``(vals [V,F], ok [V] bool, ovf scalar bool)``. ``ok`` is
+    False for high-degree vertices beyond the HCAP compaction slots (their
+    picks must be masked invalid); ``ovf`` flags that clip.
+    """
     LANE = INDICES_LANE
     V, F = idx.shape
-    rows = graph.indices.reshape(-1, LANE)
+    rows = table.reshape(-1, LANE)
     n_rows = rows.shape[0]
     r0 = (off // LANE).astype(jnp.int32)
 
@@ -284,7 +293,7 @@ def _region_fetch_neighbors(
     span = last_row - r0 + 1
     low = span <= REGION_ROWS
 
-    # --- low-degree: 3 region rows per vertex -------------------------
+    # --- low-degree: REGION_ROWS region rows per vertex ----------------
     row_ids = jnp.clip(
         r0[:, None]
         + jax.lax.broadcasted_iota(jnp.int32, (V, REGION_ROWS), 1),
@@ -299,26 +308,29 @@ def _region_fetch_neighbors(
     # select region[v, rel_row[v,j], lane[v,j]]: per region row, a fused
     # broadcast-compare-reduce lane select (same pattern as
     # take_1d_blocked, which XLA fuses without materializing [V,F,LANE]),
-    # then a 3-way where on the row index
+    # then a REGION_ROWS-way where on the row index
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (V, F, LANE), 2)
     lane_onehot = lane_iota == lane[:, :, None]
-    low_vals = jnp.zeros((V, F), dtype=graph.indices.dtype)
+    low_vals = jnp.zeros((V, F), dtype=table.dtype)
     for r in range(REGION_ROWS):
         v_r = jnp.sum(
             jnp.where(lane_onehot, region[:, r, :][:, None, :], 0), axis=2
         )
         low_vals = jnp.where(rel_row == r, v_r, low_vals)
 
-    # --- high-degree: compact into HCAP slots, one row per pick -------
+    # --- high-degree: gather-compact into HCAP slots -------------------
+    # (a scatter-based compaction took >20min to compile on the remote
+    # compile service; searchsorted + gathers compile in seconds)
     HCAP = max(V // HIGH_DEG_FRAC, 8)
     high = ~low
-    slot = jnp.cumsum(high.astype(jnp.int32)) - 1                # [V]
-    n_high = jnp.sum(high)
-    in_cap = high & (slot < HCAP)
-    tgt = jnp.where(in_cap, slot, HCAP)                          # drop beyond
-    flat_h = jnp.zeros((HCAP + 1, F), dtype=flat.dtype).at[tgt].set(
-        flat, mode="drop"
-    )[:HCAP]
+    csum = jnp.cumsum(high.astype(jnp.int32))      # [V]: #high in [0..v]
+    ovf = csum[-1] > HCAP
+    # v_of_slot[s] = index of the (s+1)-th high vertex (== V if none)
+    v_of_slot = jnp.searchsorted(
+        csum, jnp.arange(1, HCAP + 1, dtype=csum.dtype), side="left"
+    )
+    v_safe = jnp.clip(v_of_slot, 0, V - 1)
+    flat_h = jnp.take(flat, v_safe, axis=0)        # [HCAP, F]
     row_h = jnp.clip((flat_h // LANE).astype(jnp.int32), 0, n_rows - 1)
     lane_h = (flat_h % LANE).astype(jnp.int32)
     rows_h = jnp.take(rows, row_h.reshape(-1), axis=0).reshape(
@@ -327,29 +339,15 @@ def _region_fetch_neighbors(
     lane_iota_h = jax.lax.broadcasted_iota(jnp.int32, (HCAP, F, LANE), 2)
     high_vals_slots = jnp.sum(
         jnp.where(lane_iota_h == lane_h[:, :, None], rows_h, 0), axis=2
-    )                                                            # [HCAP, F]
-    # route back: vertex v (high) reads its slot row
+    )                                              # [HCAP, F]
+    # route back: high vertex v reads its slot row
+    slot = csum - 1
     slot_c = jnp.clip(slot, 0, HCAP - 1)
     high_vals = jnp.take(high_vals_slots, slot_c, axis=0)        # [V, F]
 
-    # vertices beyond HCAP (extremely skewed frontier) fall back to the
-    # direct blocked gather for their picks — correctness over speed
-    overflow = high & (slot >= HCAP)
-    need_fallback = jnp.any(overflow)
-
-    def with_fallback(_):
-        fb = take_1d_blocked(graph.indices, flat.reshape(-1)).reshape(V, F)
-        return jnp.where(overflow[:, None], fb, 0)
-
-    fb_vals = jax.lax.cond(
-        need_fallback, with_fallback, lambda _: jnp.zeros_like(low_vals),
-        operand=None,
-    )
-    out = jnp.where(
-        low[:, None], low_vals,
-        jnp.where(overflow[:, None], fb_vals, high_vals),
-    )
-    return out
+    ok = low | (slot < HCAP)
+    out = jnp.where(low[:, None], low_vals, high_vals)
+    return out, ok, ovf
 
 
 def sample_layer(
@@ -358,14 +356,15 @@ def sample_layer(
     inputs: jnp.ndarray,
     fanout: int,
     sample_type: SampleType,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sample one hop.
 
     Args:
       inputs: [N_cap] int32 seed ids, -1 padded.
     Returns:
       (neighbors [N_cap*fanout] int32 -1-padded — slot i*fanout+j is the
-       j-th pick of seed i; valid mask [N_cap*fanout] bool.)
+       j-th pick of seed i; valid mask [N_cap*fanout] bool;
+       ovf scalar bool — region-fetch high-degree slots clipped.)
     """
     n = inputs.shape[0]
     node_ok = inputs >= 0
@@ -389,14 +388,17 @@ def sample_layer(
     else:
         raise ValueError(f"sample_layer does not handle {sample_type}")
 
+    ovf = jnp.zeros((), bool)
     if REGION_FETCH and graph.indices.shape[0] % INDICES_LANE == 0:
-        nbr = _region_fetch_neighbors(graph, off, deg, idx).reshape(-1)
+        vals, ok, ovf = _region_select(graph.indices, off, deg, idx)
+        nbr = vals.reshape(-1)
+        valid = valid & ok[:, None]
     else:
         flat = off[:, None] + jnp.maximum(idx, 0).astype(ptr_dtype)
         flat = jnp.clip(flat, 0, graph.indices.shape[0] - 1)
         nbr = take_1d_blocked(graph.indices, flat.reshape(-1))
     valid = valid.reshape(-1) & jnp.repeat(node_ok, fanout)
-    return jnp.where(valid, nbr, -1), valid
+    return jnp.where(valid, nbr, -1), valid, ovf
 
 
 # ---------------------------------------------------------------------------
@@ -439,7 +441,10 @@ def multi_layer_sample(
         fanout = plan.fanouts[hop]
         last = hop == plan.num_layer - 1
         k = jax.random.fold_in(key, hop)
-        nbrs, valid = sample_layer(k, graph, cur, fanout, sample_type)
+        nbrs, valid, fetch_ovf = sample_layer(
+            k, graph, cur, fanout, sample_type
+        )
+        overflowed = overflowed | fetch_ovf
 
         if last and not dedup_last_hop:
             S = cur.shape[0]

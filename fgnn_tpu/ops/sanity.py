@@ -44,7 +44,14 @@ class EpochSanityChecker:
             src = np.asarray(blk.src_local)[mask]
             dst = np.asarray(blk.dst_local)[mask]
             assert (src >= 0).all() and (dst >= 0).all()
-            assert src.max(initial=0) < plan.num_unique_cap[hop]
+            # deepest block: with dedup_last_hop=False the src space is
+            # [frontier | edge slots] = len(input_nodes), not the dedup cap
+            src_cap = (
+                batch.input_nodes.shape[0]
+                if bi == 0
+                else plan.num_unique_cap[hop]
+            )
+            assert src.max(initial=0) < src_cap
             assert dst.max(initial=0) < plan.num_input_cap[hop]
         # 4. input nodes valid where declared
         inp = np.asarray(batch.input_nodes)

@@ -48,7 +48,7 @@ from ..train.loop import (
     make_eval_step,
     masked_cross_entropy,
 )
-from ..utils import Timer, get_logger
+from ..utils import Timer, force_done, get_logger
 from ..utils.profiler import Profiler
 
 log = get_logger(__name__)
@@ -96,6 +96,11 @@ class _EngineBase:
     def _setup_common(self, cfg: RunConfig, ds: Dataset):
         self.cfg = cfg
         self.ds = ds
+        # profile_level >= 2: per-stage timers, forcing a sync at each
+        # stage boundary (the reference's per-op cuda-event timing,
+        # cuda_loops.cc:238-264, costs the same overlap). Level 1 keeps
+        # async dispatch and reports only wall-clock epoch time.
+        self._prof_stages = cfg.profile_level >= 2
         indptr = np.asarray(ds.indptr)
         if cfg.sample_type == SampleType.RANDOM_WALK:
             fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
@@ -410,6 +415,8 @@ class FactoredEngine(_EngineBase):
         t_epoch = Timer()
         base = jax.random.key(cfg.seed)
         repl_t = self.roles.trainer_replicated
+        prof = Profiler.get()
+        prof_stages = self._prof_stages
 
         iters = [sh.batches(epoch) for sh in self.shufflers]
         live = list(range(S))
@@ -438,6 +445,7 @@ class FactoredEngine(_EngineBase):
                 seeds_l.append(np.full_like(seeds_l[0], -1))
                 nums_l.append(np.int32(0))
                 keys_l.append(jax.random.fold_in(base, 0x7FFFFFFF))
+            t = Timer() if prof_stages else None
             wave = self.sample_wave(
                 jnp.stack(keys_l), jnp.asarray(np.stack(seeds_l)),
                 jnp.asarray(np.stack(nums_l)),
@@ -445,6 +453,13 @@ class FactoredEngine(_EngineBase):
             # sampler-side miss/cache split ships WITH the batch
             idx = (self.index_wave(wave.input_nodes)
                    if self.index_wave is not None else None)
+            if prof_stages:
+                force_done(idx if idx is not None else wave.num_input)
+                prof.log_epoch_add(epoch, "epoch_sample_time", t.passed())
+                if prof.trace_enabled:
+                    prof.trace_event(len(wave_ovfs) + len(in_flight),
+                                     "sample_wave", t._start * 1e6,
+                                     Timer.now_us())
             in_flight.append(
                 (wave, idx, len([1 for n in nums_l if int(n) > 0]))
             )
@@ -455,8 +470,15 @@ class FactoredEngine(_EngineBase):
             wave_ovfs.append(wave.overflowed)  # [S] bool, fetched at epoch end
             # cross the sampler->trainer boundary (the "global queue"):
             # one ICI/device transfer of the whole wave
+            t = Timer() if prof_stages else None
             wave_t = jax.device_put(wave, repl_t)
             idx_t = jax.device_put(idx, repl_t) if idx is not None else None
+            if prof_stages:
+                force_done(wave_t.num_input)
+                prof.log_epoch_add(epoch, "epoch_copy_time", t.passed())
+                if prof.trace_enabled:
+                    prof.trace_event(len(wave_ovfs), "queue_copy",
+                                     t._start * 1e6, Timer.now_us())
             for i in range(n_real):
                 b = jax.tree.map(lambda a: a[i], wave_t)
                 ix = (jax.tree.map(lambda a: a[i], idx_t)
@@ -525,17 +547,36 @@ class FactoredEngine(_EngineBase):
         only reweights it slightly, matching the reference's aligned-step
         padding semantics)."""
         assert group, "empty train group"
+        prof_stages = self._prof_stages
+        prof = Profiler.get() if prof_stages else None
         group = list(group)
         while len(group) < group_size:
             group.append(group[0])
         batches = [b for b, _ix in group]
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        t = Timer() if prof_stages else None
         feats = jnp.stack([self._feats_for(b, ix) for b, ix in group])
         # committed args must match the jit's in_shardings exactly
         stacked = jax.device_put(stacked, shard)
         feats = jax.device_put(feats, shard)
+        if prof_stages:
+            force_done(feats)
+            prof.log_epoch_add(self._cur_epoch, "epoch_extract_time",
+                               t.passed())
+            if prof.trace_enabled:
+                prof.trace_event(int(state.step), "extract",
+                                 t._start * 1e6, Timer.now_us())
+            t.reset()
         keys = jax.random.split(key, group_size)
-        return wave(state, stacked, feats, keys)
+        out = wave(state, stacked, feats, keys)
+        if prof_stages:
+            force_done(out[1])  # loss scalar
+            prof.log_epoch_add(self._cur_epoch, "epoch_train_time",
+                               t.passed())
+            if prof.trace_enabled:
+                prof.trace_event(int(out[0].step), "train_wave",
+                                 t._start * 1e6, Timer.now_us())
+        return out
 
     def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:
         """Test accuracy on the trainer mesh (train_accuracy.py analog):
@@ -634,6 +675,7 @@ class SGNNEngine(_EngineBase):
         # loss (see multi_layer_sample docstring); GCN keeps dedup (its
         # out-degree normalization is not duplicate-invariant)
         dedup = cfg.model == "gcn"
+        self._dedup = dedup
 
         def fused_wave(state, graph, feat, label, keys, seeds, nums):
             # graph/feat/label are jit ARGUMENTS (HLO-constant blowup
@@ -729,8 +771,149 @@ class SGNNEngine(_EngineBase):
         log.info("SGNNEngine: %d workers, %d local steps/epoch", W,
                  self.num_local_step)
 
+    def _build_profile_fns(self):
+        """De-fused sample / extract / train waves for profile_level>=2.
+
+        The production path is ONE fused scanned program (no internal
+        stage boundaries exist at runtime); stage timing requires running
+        the equivalent de-fused program — the standard profiling-mode
+        overhead tradeoff. RNG key folding matches the fused wave, so the
+        training math is step-for-step identical."""
+        cfg = self.cfg
+        repl, shard = self.repl, self.shard
+        B = cfg.batch_size
+        model, dst_caps = self.model, self.dst_caps
+        dedup = self._dedup
+
+        def sample_wave(graph, keys, seeds, nums):
+            return jax.vmap(
+                lambda k, s, n: self._sample_one(graph, k, s, n,
+                                                 dedup_last_hop=dedup)
+            )(keys, seeds, nums)
+
+        self._p_sample_g = jax.jit(
+            sample_wave, in_shardings=(repl, shard, shard, shard),
+            out_shardings=shard,
+        )
+
+        def gather_wave(feat, ids):
+            return jax.vmap(lambda i: device_gather(feat, i))(ids)
+
+        self._p_gather_g = jax.jit(
+            gather_wave, in_shardings=(repl, shard), out_shardings=shard,
+        )
+
+        def train_wave(state, label, batches, feats, keys, nums):
+            def loss_fn(params):
+                def one(batch, f, k, n):
+                    labels = label_gather(label, batch.output_nodes)
+                    logits = model.apply(
+                        {"params": params}, batch, f, dst_caps,
+                        deterministic=False,
+                        rngs={"dropout": jax.random.fold_in(k, 7)},
+                    )
+                    l, a = masked_cross_entropy(logits[:B], labels[:B])
+                    w = (n > 0).astype(jnp.float32)
+                    return l * w, a * w, w
+
+                ls, accs, ws = jax.vmap(one)(batches, feats, keys, nums)
+                wsum = jnp.maximum(ws.sum(), 1.0)
+                return ls.sum() / wsum, accs.sum() / wsum
+
+            (loss, acc), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = self.tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree.map(
+                lambda p, u: p + u, state.params, updates
+            )
+            return (
+                TrainState(params=new_params, opt_state=new_opt,
+                           step=state.step + 1),
+                loss,
+                acc,
+            )
+
+        self._p_train_g = jax.jit(
+            train_wave,
+            in_shardings=(repl, repl, shard, shard, shard, shard),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0,),
+        )
+
+    def _run_epoch_profiled(self, epoch: int) -> dict:
+        """Stepwise epoch with per-stage timers (profile_level >= 2)."""
+        cfg = self.cfg
+        W = len(self.shufflers)
+        prof = Profiler.get()
+        t_epoch = Timer()
+        base = jax.random.key(cfg.seed)
+        if not hasattr(self, "_p_sample_g"):
+            self._build_profile_fns()
+        L = self.num_local_step
+        cap = self.plan.num_input_cap[0]
+        losses, accs, ovfs = [], [], []
+        rows = [list(sh.batches(epoch)) for sh in self.shufflers]
+        for local in range(L):
+            seeds = np.full((W, cap), -1, dtype=np.int32)
+            nums = np.zeros((W,), dtype=np.int32)
+            for w in range(W):
+                if local < len(rows[w]):
+                    s, n, _ = rows[w][local]
+                    seeds[w], nums[w] = s, n
+            keys = jnp.stack([
+                jax.random.fold_in(base, epoch * 100003 + local * W + w)
+                for w in range(W)
+            ])
+            t = Timer()
+            wave = self._p_sample_g(
+                self.graph, keys, jnp.asarray(seeds), jnp.asarray(nums)
+            )
+            force_done(wave.num_input)
+            prof.log_epoch_add(epoch, "epoch_sample_time", t.passed())
+            skey = prof.step_key(epoch, local)
+            prof.log_step(skey, "L1_sample_time", t.passed())
+            ovfs.append(wave.overflowed)
+            t.reset()
+            feats = self._p_gather_g(self.feat_dev, wave.input_nodes)
+            force_done(feats)
+            prof.log_epoch_add(epoch, "epoch_extract_time", t.passed())
+            prof.log_step(skey, "L1_copy_time", t.passed())
+            t.reset()
+            self.state, loss, acc = self._p_train_g(
+                self.state, self.label_dev, wave, feats, keys,
+                jnp.asarray(nums),
+            )
+            force_done(loss)
+            prof.log_epoch_add(epoch, "epoch_train_time", t.passed())
+            prof.log_step(skey, "L1_train_time", t.passed())
+            losses.append(float(loss))
+            accs.append(float(acc))
+        self._surface_overflow(
+            epoch, bool(np.any(np.asarray(jnp.stack(ovfs))))
+        )
+        epoch_time = t_epoch.passed()
+        prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.num_local_step * W,
+        }
+
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
+        if self._prof_stages:
+            return self._run_epoch_profiled(epoch)
         W = len(self.shufflers)
         t_epoch = Timer()
         base = jax.random.key(cfg.seed)

@@ -45,8 +45,8 @@ STEP_ITEMS = [
 EPOCH_ITEMS = [
     "epoch_total_time", "epoch_sample_time", "epoch_shuffle_time",
     "epoch_core_sample_time", "epoch_id_remap_time", "epoch_copy_time",
-    "epoch_convert_time", "epoch_train_time", "epoch_feature_bytes",
-    "epoch_miss_bytes",
+    "epoch_convert_time", "epoch_extract_time", "epoch_train_time",
+    "epoch_feature_bytes", "epoch_miss_bytes", "epoch_cap_overflow",
 ]
 
 INIT_ITEMS = [

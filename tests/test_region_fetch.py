@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 import fgnn_tpu.ops.sampling as S
-from fgnn_tpu.ops.sampling import CSRGraph, _region_fetch_neighbors
+from fgnn_tpu.ops.sampling import CSRGraph, _region_select
 
 
 def _graph(seed, N=3000, hub_every=89):
@@ -23,7 +23,7 @@ def _graph(seed, N=3000, hub_every=89):
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-def test_region_fetch_exact(seed):
+def test_region_select_exact(seed):
     g, indptr, indices, deg = _graph(seed)
     rng = np.random.default_rng(seed + 100)
     V, F = 256, 10
@@ -34,12 +34,35 @@ def test_region_fetch_exact(seed):
         rng.integers(0, 2000, (V, F)), dg[:, None] - 1
     ).astype(np.int32)
     idx[rng.random((V, F)) < 0.15] = -1
-    out = np.asarray(jax.jit(_region_fetch_neighbors)(
-        g, jnp.asarray(off), jnp.asarray(dg), jnp.asarray(idx)
-    ))
+    out, ok, ovf = jax.jit(_region_select)(
+        g.indices, jnp.asarray(off), jnp.asarray(dg), jnp.asarray(idx)
+    )
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert not bool(ovf), "HCAP must cover this frontier"
+    assert ok.all()
     ref = indices[off[:, None] + np.maximum(idx, 0)]
     valid = idx >= 0
     np.testing.assert_array_equal(out[valid], ref[valid])
+
+
+def test_region_select_hcap_overflow_flags():
+    """More wide-range vertices than HCAP slots -> clipped + flagged."""
+    g, indptr, indices, deg = _graph(2, N=512, hub_every=2)
+    # frontier made entirely of hub vertices: n_high >> HCAP = V//frac
+    vs = np.arange(0, 512, 2)[:64]
+    off = indptr[vs]
+    dg = deg[vs].astype(np.int32)
+    rng = np.random.default_rng(0)
+    idx = (rng.integers(0, 1 << 30, (64, 4)) % dg[:, None]).astype(np.int32)
+    out, ok, ovf = jax.jit(_region_select)(
+        g.indices, jnp.asarray(off), jnp.asarray(dg), jnp.asarray(idx)
+    )
+    out, ok = np.asarray(out), np.asarray(ok)
+    assert bool(ovf)
+    # served vertices are still exact
+    ref = indices[off[:, None] + np.maximum(idx, 0)]
+    np.testing.assert_array_equal(out[ok], ref[ok])
+    assert (~ok).any()
 
 
 def test_sample_layer_identical_with_and_without_region(monkeypatch):
@@ -61,3 +84,4 @@ def test_sample_layer_identical_with_and_without_region(monkeypatch):
     )
     np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
     np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+    assert not bool(a[2]) and not bool(b[2])

@@ -22,7 +22,7 @@ def test_sample_layer_valid_neighbors(tiny_graph, st):
     g = _graph(indptr, indices)
     inputs = jnp.array([0, 3, 2, -1], dtype=jnp.int32)
     fanout = 3
-    nbrs, valid = sample_layer(jax.random.key(0), g, inputs, fanout, st)
+    nbrs, valid, _ovf = sample_layer(jax.random.key(0), g, inputs, fanout, st)
     nbrs = np.asarray(nbrs).reshape(4, fanout)
     valid = np.asarray(valid).reshape(4, fanout)
     # node 0 has 3 neighbors {1,2,3}
@@ -45,7 +45,7 @@ def test_without_replacement_distinct(tiny_graph):
     g = _graph(indptr, indices)
     inputs = jnp.array([3], dtype=jnp.int32)  # degree 4
     for seed in range(20):
-        nbrs, valid = sample_layer(
+        nbrs, valid, _ovf = sample_layer(
             jax.random.key(seed), g, inputs, 3, SampleType.KHOP2
         )
         picked = [int(x) for x in np.asarray(nbrs) if x >= 0]
@@ -57,7 +57,7 @@ def test_low_degree_takes_all(tiny_graph):
     indptr, indices = tiny_graph
     g = _graph(indptr, indices)
     inputs = jnp.array([1], dtype=jnp.int32)  # degree 2 < fanout 5
-    nbrs, valid = sample_layer(jax.random.key(0), g, inputs, 5, SampleType.KHOP0)
+    nbrs, valid, _ovf = sample_layer(jax.random.key(0), g, inputs, 5, SampleType.KHOP0)
     picked = sorted(int(x) for x in np.asarray(nbrs) if x >= 0)
     assert picked == sorted(_neighbors_of(indptr, indices, 1))
 

@@ -146,6 +146,65 @@ def stream_campaign():
         print(f"    -> {gbs:.0f} GB/s r+w", flush=True)
 
 
+def base_campaign():
+    """Primitive cost model: streaming, reduction, sort, scatter — the
+    economics of compaction/dedup vs padded per-edge gathers."""
+    print("== primitive baselines ==", flush=True)
+    N, D = 524_288, 128  # 256MB f32
+    x = jnp.zeros((N, D), jnp.float32)
+    ms = timed_scan("xla elementwise x+i (256MB)",
+                    lambda i, t: t + i.astype(jnp.float32), x)
+    print(f"    -> {2 * N * D * 4 / ms * 1e3 / 1e9:.0f} GB/s r+w",
+          flush=True)
+    ms = timed_scan("xla sum (256MB)",
+                    lambda i, t: jnp.sum(t + 0.0 * i.astype(jnp.float32),
+                                         keepdims=True), x)
+    print(f"    -> {N * D * 4 / ms * 1e3 / 1e9:.0f} GB/s read (incl. the "
+          "t+0*i copy)", flush=True)
+    M = 2_097_152
+    timed_scan("xla sort 2.1M i32 (1 key)",
+               lambda i, _: jnp.sort(ids_for(i, M, N)), x)
+    timed_scan(
+        "xla sort 2.1M i32 (key+value)",
+        lambda i, _: jax.lax.sort(
+            [ids_for(i, M, N), jnp.arange(M, dtype=jnp.int32)], num_keys=1
+        )[0],
+        x,
+    )
+    timed_scan("xla argsort 2.1M i32",
+               lambda i, _: jnp.argsort(ids_for(i, M, N)), x)
+    timed_scan(
+        "xla cumsum 2.1M i32",
+        lambda i, _: jnp.cumsum(ids_for(i, M, N) & 1), x,
+    )
+    # scatter-add 2.1M -> 538K (GCN out-degree shape)
+    U = 538_000
+    timed_scan(
+        "xla scatter-add 2.1M into 538K",
+        lambda i, _: jnp.zeros((U,), jnp.float32).at[
+            ids_for(i, M, U)
+        ].add(1.0, mode="drop"),
+        x,
+    )
+    # segment-sum of [2.1M, 128] rows into 84K dst (aggregation alternative)
+    tabm = jnp.zeros((M, 8), jnp.float32)
+    timed_scan(
+        "xla scatter-add rows [2.1M,8] into 84K",
+        lambda i, t: jnp.zeros((84_000, 8), jnp.float32).at[
+            ids_for(i, M, 84_000)
+        ].add(t, mode="drop"),
+        tabm,
+    )
+
+
+def ids_valid_mix(i, m, n, frac_valid):
+    """Random ids with (1-frac_valid) of positions set to -1 (padding)."""
+    k = jax.random.fold_in(jax.random.key(11), i)
+    ids = jax.random.randint(k, (m,), 0, n, jnp.int32)
+    mask = jax.random.uniform(jax.random.fold_in(k, 1), (m,)) < frac_valid
+    return jnp.where(mask, ids, -1)
+
+
 def pallas_campaign():
     from fgnn_tpu.ops.pallas_gather2 import gather_rows_v2
 
@@ -153,25 +212,44 @@ def pallas_campaign():
     D = 128
     N = 1_048_576
     M = 2_097_152
-    for dt, nm in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
-        tab = jnp.zeros((N, D), dt) + 1.0
-        for unroll, ngroups, block in (
-            (1, 16, 2048),   # ~round-1 shape
-            (4, 4, 2048),
-            (8, 4, 2048),
-            (8, 8, 2048),
-            (16, 4, 2048),
-            (16, 8, 4096),
-            (32, 4, 4096),
-        ):
-            timed_scan(
-                f"pallas {nm} u={unroll} g={ngroups} b={block}",
-                lambda i, t: gather_rows_v2(
-                    t, ids_for(i, M, N), block_rows=block,
-                    unroll=unroll, ngroups=ngroups,
-                ),
-                tab, reps=4,
-            )
+    tab = jnp.zeros((N, D), jnp.float32) + 1.0
+    for unroll, ngroups, block in (
+        (1, 16, 2048),   # ~round-1 shape
+        (4, 4, 2048),
+        (8, 4, 2048),
+        (8, 8, 2048),
+        (16, 4, 2048),
+        (16, 8, 4096),
+        (32, 4, 4096),
+    ):
+        timed_scan(
+            f"pallas f32 u={unroll} g={ngroups} b={block}",
+            lambda i, t: gather_rows_v2(
+                t, ids_for(i, M, N), block_rows=block,
+                unroll=unroll, ngroups=ngroups,
+            ),
+            tab, reps=4,
+        )
+    # skip-invalid: 60% valid ids (the padded-COO regime)
+    for unroll, ngroups, block in ((8, 4, 2048), (16, 8, 4096)):
+        timed_scan(
+            f"pallas f32 60%valid skip u={unroll} g={ngroups} b={block}",
+            lambda i, t: gather_rows_v2(
+                t, ids_valid_mix(i, M, N, 0.6), block_rows=block,
+                unroll=unroll, ngroups=ngroups, skip_invalid=True,
+            ),
+            tab, reps=4,
+        )
+        timed_scan(
+            f"xla   f32 60%valid       (control)",
+            lambda i, t: jnp.where(
+                (ids_valid_mix(i, M, N, 0.6) >= 0)[:, None],
+                jnp.take(t, jnp.maximum(ids_valid_mix(i, M, N, 0.6), 0),
+                         axis=0, mode="clip"),
+                0.0,
+            ),
+            tab, reps=4,
+        )
 
 
 def main():
@@ -185,6 +263,8 @@ def main():
         xla_campaign()
     if which in ("stream", "all"):
         stream_campaign()
+    if which in ("base", "all"):
+        base_campaign()
     if which in ("pallas", "all"):
         pallas_campaign()
 

@@ -55,7 +55,7 @@ def main():
     # hop-by-hop
     f0 = plan.fanouts[0]
     samp0 = jax.jit(lambda k, s: sample_layer(k, g, s, f0, cfg.sample_type))
-    nbrs, valid = timed("hop0 sample_layer", samp0, key, seeds)
+    nbrs, valid, _ovf = timed("hop0 sample_layer", samp0, key, seeds)
 
     uniq0 = jax.jit(
         lambda s, nn, nb: unique_with_seeds(s, nn, nb, plan.num_unique_cap[0])
@@ -69,7 +69,7 @@ def main():
 
     f1 = plan.fanouts[1]
     samp1 = jax.jit(lambda k, s: sample_layer(k, g, s, f1, cfg.sample_type))
-    nbrs1, _ = timed("hop1 sample_layer", samp1, key, unique)
+    nbrs1, _, _ovf1 = timed("hop1 sample_layer", samp1, key, unique)
     uniq1 = jax.jit(
         lambda s, nn, nb: unique_with_seeds(s, nn, nb, plan.num_unique_cap[1])
     )
