@@ -236,6 +236,10 @@ class OneChipEngine:
         return multi_layer_sample(
             key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
             dedup_last_hop=dedup_last_hop,
+            # GCN's norm='both' needs per-block src out-degrees; emitting
+            # them from the dedup sort replaces the edge-stream
+            # scatter-add that dominated GCN's step time (PERF.md)
+            with_out_degrees=cfg.model == "gcn",
         )
 
     def _build_fns(self):

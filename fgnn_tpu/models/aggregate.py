@@ -125,6 +125,10 @@ def in_degrees(block: Block, dst_cap: int) -> jnp.ndarray:
 
 
 def out_degrees(block: Block, src_cap: int) -> jnp.ndarray:
+    if block.src_out_deg is not None:
+        # emitted by the dedup sort (ops/hashtable.py::unique_and_remap
+        # with_counts) — no scatter needed
+        return block.src_out_deg[:src_cap].astype(jnp.float32)
     mask = block.mask
     src = jnp.where(mask, block.src_local, src_cap)
     return jax.ops.segment_sum(

@@ -91,7 +91,8 @@ def unique_and_remap(
     num_seeds: jnp.ndarray,
     neighbors: jnp.ndarray,
     out_cap: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_counts: bool = False,
+):
     """Fused FillWithDuplicates + GPUMapEdges in ONE sort.
 
     The hot path of DoGPUSample (cuda_loops.cc:176-204 does hashtable
@@ -104,6 +105,16 @@ def unique_and_remap(
     Returns (unique [out_cap] -1-padded seeds-first, num_unique,
     nbr_local [E] int32 — local id per neighbor slot (-1 for padding),
     overflowed bool).
+
+    ``with_counts=True`` appends a 5th output ``counts [out_cap] int32``:
+    the multiplicity of each unique node among the (valid) neighbor
+    stream — exactly the block's src out-degree, which GCN's norm='both'
+    needs. Computed from the SAME sort (group run lengths via a reverse
+    cummin, then one extra (key,value) sort aligns counts with local ids
+    — new leaders' locals are consecutive in sorted order, so sorting by
+    leader-local IS the compaction). This replaces a [E]-sized
+    scatter-add (``out_degrees``) that measured as the slowest primitive
+    on TPU (models/aggregate.py docstring).
     """
     S = seeds.shape[0]
     E = neighbors.shape[0]
@@ -156,7 +167,36 @@ def unique_and_remap(
     num_unique = num_seeds + jnp.minimum(
         num_new, jnp.int32(out_cap - S)
     )
-    return _from_sentinel(unique), num_unique, nbr_local, overflowed
+    if not with_counts:
+        return _from_sentinel(unique), num_unique, nbr_local, overflowed
+
+    n = S + E
+    # group sizes: distance from each leader to the next leader. cummin
+    # in reverse gives the nearest group-start at-or-after each position.
+    nf = jax.lax.cummin(jnp.where(first, idx, n), reverse=True)
+    nxt_after = jnp.concatenate([nf[1:], jnp.full((1,), n, nf.dtype)])
+    grp = nxt_after - idx                       # meaningful at leaders
+    cnt = jnp.where(is_pad, 0, grp - (st == 0)) # seed leader: drop itself
+    # align counts with LOCAL ids via one (key, value) sort:
+    #  * every seed slot (real or padded) keys at its position sp < S so
+    #    the seed region stays dense (padded seeds carry count 0),
+    #  * new leaders key at their local S + rank (consecutive),
+    #  * everything else (non-leader, clipped, pad) keys at n, after all
+    #    real locals.
+    key = jnp.where(
+        st == 0,
+        sp,
+        jnp.where(
+            first & (~is_pad) & (leader_local < out_cap), leader_local, n
+        ),
+    )
+    cnt = jnp.where((st == 0) & (~first), 0, cnt)  # padded dup seeds
+    skey, scnt = jax.lax.sort([key, cnt], num_keys=1)
+    m = min(out_cap, n)  # out_cap may exceed the S+E stream length
+    counts = jnp.zeros((out_cap,), jnp.int32).at[:m].set(
+        jnp.where(skey[:m] < n, scnt[:m], 0).astype(jnp.int32)
+    )
+    return _from_sentinel(unique), num_unique, nbr_local, overflowed, counts
 
 
 def unique_and_remap_direct(

@@ -79,6 +79,10 @@ class Block:
     num_src: jnp.ndarray     # scalar int32 (real count)
     num_dst: jnp.ndarray     # scalar int32
     weights: Optional[jnp.ndarray] = None  # [E_cap] f32 (PinSAGE)
+    # src out-degrees BY LOCAL ID (len = src space cap), emitted by the
+    # dedup sort when the model needs them (GCN norm='both') — replaces
+    # a per-edge scatter-add in models.aggregate.out_degrees
+    src_out_deg: Optional[jnp.ndarray] = None
     slots_per_dst: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
@@ -413,8 +417,14 @@ def multi_layer_sample(
     plan: SamplePlan,
     sample_type: SampleType,
     dedup_last_hop: bool = True,
+    with_out_degrees: bool = False,
 ) -> SampledBatch:
     """Sample all hops + dedup + local-id remap, fully jittable.
+
+    ``with_out_degrees=True`` attaches per-local src out-degree counts to
+    every block (``Block.src_out_deg``), emitted by the dedup sort itself
+    — GCN's norm='both' consumes them instead of scatter-adding over the
+    edge stream (models/aggregate.py::out_degrees).
 
     Mirrors the reference inner loop (cuda_loops.cc:87-257): per hop,
     sample -> FillWithDuplicates -> MapEdges; the final unique list is the
@@ -446,6 +456,7 @@ def multi_layer_sample(
         )
         overflowed = overflowed | fetch_ovf
 
+        counts = None
         if last and not dedup_last_hop:
             S = cur.shape[0]
             E = nbrs.shape[0]
@@ -463,6 +474,20 @@ def multi_layer_sample(
                 num_cur + jnp.sum(valid).astype(jnp.int32)
             )
             ovf = jnp.zeros((), bool)
+            if with_out_degrees:
+                # each appended slot is its own src, used by exactly its
+                # own edge; frontier entries are never a src here
+                counts = jnp.concatenate(
+                    [jnp.zeros((S,), jnp.int32), valid.astype(jnp.int32)]
+                )
+        elif with_out_degrees:
+            # counts ride the dedup sort — sort path only (the direct
+            # path would need the [num_node]-table scatter-add this
+            # feature exists to avoid)
+            unique, num_unique, src_local, ovf, counts = unique_and_remap(
+                cur, num_cur, nbrs, plan.num_unique_cap[hop],
+                with_counts=True,
+            )
         elif graph.num_node <= DIRECT_REMAP_MAX_NODES:
             unique, num_unique, src_local, ovf = unique_and_remap_direct(
                 cur, num_cur, nbrs, plan.num_unique_cap[hop], graph.num_node
@@ -486,6 +511,7 @@ def multi_layer_sample(
                 mask=mask,
                 num_src=num_unique.astype(jnp.int32),
                 num_dst=num_cur.astype(jnp.int32),
+                src_out_deg=counts,
                 slots_per_dst=fanout,
             )
         )

@@ -138,6 +138,7 @@ class _EngineBase:
         return multi_layer_sample(
             key, graph, seeds, num_seeds, self.plan, cfg.sample_type,
             dedup_last_hop=dedup_last_hop,
+            with_out_degrees=cfg.model == "gcn",
         )
 
     def _surface_overflow(self, epoch: int, overflowed: bool):
@@ -487,16 +488,45 @@ class FactoredEngine(_EngineBase):
 
         shard_t = self.roles.trainer_sharding
 
+        # 2-stage group pipeline (dist_loops_arch5.cc:106-147 PIPELINE
+        # analog): host miss-gather + staging of group k+1 overlaps the
+        # trainer wave of group k. Only worth a thread when features are
+        # host-resident (cache mode); stage-profiled runs stay serial so
+        # the timers mean what they say.
+        pipelined = (not self.feat_on_trainer) and not prof_stages
+        prep_pool = self._prep_pool() if pipelined else None
+        prep_futs: deque = deque()
+
+        def drain_preps(block: bool):
+            while prep_futs and (
+                block or len(prep_futs) > 1 or prep_futs[0][0].done()
+            ):
+                fut, key = prep_futs.popleft()
+                stacked, feats = fut.result()
+                keys = jax.random.split(key, T)
+                self.state, loss, acc = self.train_wave(
+                    self.state, stacked, feats, keys
+                )
+                losses.append(loss)
+                accs.append(acc)
+
         def train_group():
             group = []
             while pending_batches and len(group) < T:
                 group.append(pending_batches.popleft())
-            key = jax.random.fold_in(base, 0xD0 + len(losses))
-            self.state, loss, acc = self._run_group(
-                self.state, group, self.train_wave, shard_t, T, key
-            )
-            losses.append(loss)
-            accs.append(acc)
+            key = jax.random.fold_in(base, 0xD0 + len(losses) + len(prep_futs))
+            if prep_pool is None:
+                self.state, loss, acc = self._run_group(
+                    self.state, group, self.train_wave, shard_t, T, key
+                )
+                losses.append(loss)
+                accs.append(acc)
+            else:
+                prep_futs.append((
+                    prep_pool.submit(self._prep_group, group, T, shard_t),
+                    key,
+                ))
+                drain_preps(block=False)
 
         depth = max(1, cfg.max_copying_jobs)
         more = True
@@ -512,6 +542,7 @@ class FactoredEngine(_EngineBase):
             ):
                 train_group()
                 groups += 1
+        drain_preps(block=True)  # state order: pipelined groups before tail
         # tail phase: sampling is finished, sampler chips idle — the
         # switcher subclass enlarges the trainer group here
         self._train_tail(pending_batches, base, losses, accs)
@@ -538,6 +569,31 @@ class FactoredEngine(_EngineBase):
             "num_step": self.num_step,
         }
 
+    def _prep_pool(self):
+        """Single-worker executor for the group-prep stage (order is the
+        pipeline's correctness invariant: one worker ⇒ FIFO completion)."""
+        if getattr(self, "_prep_pool_obj", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prep_pool_obj = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="fgnn-prep"
+            )
+        return self._prep_pool_obj
+
+    def _prep_group(self, group, group_size, shard):
+        """Stage one trainer group: pad, stack, extract features (host
+        miss gather when cached), commit to the trainer sharding. Runs on
+        the prep thread in pipelined mode."""
+        group = list(group)
+        while len(group) < group_size:
+            group.append(group[0])
+        batches = [b for b, _ix in group]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+        feats = jnp.stack([self._feats_for(b, ix) for b, ix in group])
+        stacked = jax.device_put(stacked, shard)
+        feats = jax.device_put(feats, shard)
+        return stacked, feats
+
     def _run_group(self, state, group, wave, shard, group_size, key):
         """Pad a batch group to `group_size`, shard it over the wave's
         'data' axis, and run one train wave.
@@ -549,16 +605,9 @@ class FactoredEngine(_EngineBase):
         assert group, "empty train group"
         prof_stages = self._prof_stages
         prof = Profiler.get() if prof_stages else None
-        group = list(group)
-        while len(group) < group_size:
-            group.append(group[0])
-        batches = [b for b, _ix in group]
-        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
         t = Timer() if prof_stages else None
-        feats = jnp.stack([self._feats_for(b, ix) for b, ix in group])
         # committed args must match the jit's in_shardings exactly
-        stacked = jax.device_put(stacked, shard)
-        feats = jax.device_put(feats, shard)
+        stacked, feats = self._prep_group(group, group_size, shard)
         if prof_stages:
             force_done(feats)
             prof.log_epoch_add(self._cur_epoch, "epoch_extract_time",

@@ -62,3 +62,40 @@ def test_fused_overflow_clips():
     for g, l in zip([5, 6, 7, 8, 9, 10], loc):
         assert l == -1 or u[l] == g
     assert int(n) <= 4
+
+
+def test_with_counts_matches_numpy_multiplicity():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        seeds_pad, n_seed, nbrs = _case(rng, 40, 64, 300, 150)
+        cap = 512
+        u, n, loc, ovf, cnt = unique_and_remap(
+            jnp.asarray(seeds_pad), jnp.int32(n_seed), jnp.asarray(nbrs),
+            cap, with_counts=True,
+        )
+        u, loc, cnt = np.asarray(u), np.asarray(loc), np.asarray(cnt)
+        # golden: multiplicity of each unique value among valid neighbors
+        golden = np.zeros(cap, np.int64)
+        for g, l in zip(nbrs, loc):
+            if g >= 0:
+                assert l >= 0
+                golden[l] += 1
+        np.testing.assert_array_equal(cnt, golden)
+        # padded-seed slots carry zero (new locals start at S=64, so
+        # [n_used_seeds, S) is the padded-seed hole)
+        assert (cnt[40:64] == 0).all()
+
+
+def test_with_counts_under_overflow():
+    seeds = jnp.array([0, 1], dtype=jnp.int32)
+    nbrs = jnp.array([5, 5, 6, 7, 8, 9, 0], dtype=jnp.int32)
+    u, n, loc, ovf, cnt = unique_and_remap(
+        seeds, jnp.int32(2), nbrs, out_cap=4, with_counts=True
+    )
+    assert bool(ovf)
+    u, loc, cnt = np.asarray(u), np.asarray(loc), np.asarray(cnt)
+    golden = np.zeros(4, np.int64)
+    for g, l in zip([5, 5, 6, 7, 8, 9, 0], loc):
+        if g >= 0 and l >= 0:
+            golden[l] += 1
+    np.testing.assert_array_equal(cnt, golden)
