@@ -17,8 +17,15 @@ from ..ops.sampling import Block
 
 
 def gather_src(h_src: jnp.ndarray, block: Block) -> jnp.ndarray:
-    """Per-edge source features [E_cap, D]; padded edges read row 0 (junk,
-    masked later)."""
+    """Per-edge source features [E_cap, D]; padded edges read junk rows,
+    masked later by the aggregation's `where(mask, ...)`."""
+    if block.src_slice_offset is not None:
+        # no-dedup layout: slot j's src row IS h[offset + j] — a static
+        # slice instead of an E_cap-row gather (see Block.src_slice_offset)
+        off = block.src_slice_offset
+        return jax.lax.slice_in_dim(
+            h_src, off, off + block.src_local.shape[0], axis=0
+        )
     idx = jnp.maximum(block.src_local, 0)
     return jnp.take(h_src, idx, axis=0)
 

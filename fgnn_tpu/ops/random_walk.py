@@ -166,6 +166,11 @@ def random_walk_topk(
                 num_dst=num_cur.astype(jnp.int32),
                 weights=jnp.where(mask, weights, 0.0),
                 slots_per_dst=K,
+                src_slice_offset=(
+                    cur.shape[0]
+                    if hop == plan.num_layer - 1 and not dedup_last_hop
+                    else None
+                ),
             )
         )
         cur = unique

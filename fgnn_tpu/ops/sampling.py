@@ -86,6 +86,13 @@ class Block:
     slots_per_dst: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # no-dedup fast mode (STATIC): edge slot j's src row is exactly
+    # h[src_slice_offset + j] — gather_src becomes a free slice. XLA
+    # cannot recover this from src_local (the -1 padding hides the iota
+    # pattern), and the difference is a 2M-row gather (~21ms/step on v5e).
+    src_slice_offset: Optional[int] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def src_cap(self) -> int:
@@ -513,6 +520,9 @@ def multi_layer_sample(
                 num_dst=num_cur.astype(jnp.int32),
                 src_out_deg=counts,
                 slots_per_dst=fanout,
+                src_slice_offset=(
+                    cur.shape[0] if (last and not dedup_last_hop) else None
+                ),
             )
         )
         cur = unique

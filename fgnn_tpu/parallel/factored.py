@@ -510,10 +510,13 @@ class FactoredEngine(_EngineBase):
                 losses.append(loss)
                 accs.append(acc)
 
+        consumed = [0]  # real batches trained by the main (T-mesh) loop
+
         def train_group():
             group = []
             while pending_batches and len(group) < T:
                 group.append(pending_batches.popleft())
+            consumed[0] += len(group)
             key = jax.random.fold_in(base, 0xD0 + len(losses) + len(prep_futs))
             if prep_pool is None:
                 self.state, loss, acc = self._run_group(
@@ -536,9 +539,13 @@ class FactoredEngine(_EngineBase):
             if in_flight:
                 drain_wave()
             groups = 0
-            while len(pending_batches) >= T and (
-                self.max_groups_per_drain is None
-                or groups < self.max_groups_per_drain
+            while (
+                len(pending_batches) >= T
+                and (
+                    self.max_groups_per_drain is None
+                    or groups < self.max_groups_per_drain
+                )
+                and self._main_loop_may_train(consumed[0])
             ):
                 train_group()
                 groups += 1
@@ -568,6 +575,12 @@ class FactoredEngine(_EngineBase):
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.num_step,
         }
+
+    def _main_loop_may_train(self, consumed: int) -> bool:
+        """Hook: may the main loop keep forming T-wide groups? The
+        switcher subclass reserves the epoch's last batches for the
+        enlarged (sampler+trainer) tail mesh."""
+        return True
 
     def _prep_pool(self):
         """Single-worker executor for the group-prep stage (order is the

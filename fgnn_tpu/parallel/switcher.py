@@ -13,6 +13,19 @@ simply moves the train state onto a second jitted train wave compiled over
 the FULL sampler+trainer mesh ('data' axis of size S+T). Gradient
 all-reduce rides ICI across all chips; the state hops meshes with a single
 device_put each way.
+
+How much of the epoch goes to the full mesh is a *scheduling decision the
+driver makes up front* (unlike the reference, whose switcher reacts to its
+shared-memory queue occupancy — unobservable here because JAX dispatch is
+asynchronous): a one-time calibration probe times one sample wave, one
+T-wide train group, and one (S+T)-wide train group, then reserves
+
+    K groups  =  total groups  -  (sampling time / T-group time)
+
+for the tail — the number of groups the T-mesh *cannot* finish before the
+samplers go idle. When training keeps pace (K <= 0) a minimal one-group
+tail still runs on the full mesh (never slower: sampler chips are idle by
+then and the state hop is two device_puts).
 """
 from __future__ import annotations
 
@@ -25,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import RunConfig
 from ..data.schema import Dataset
-from ..utils import get_logger
+from ..utils import Timer, force_done, get_logger
 from .factored import FactoredEngine
 
 log = get_logger(__name__)
@@ -34,11 +47,6 @@ log = get_logger(__name__)
 class SwitcherEngine(FactoredEngine):
     """arch5 with ``have_switcher``: sampler chips join training once their
     sampling work for the epoch is done."""
-
-    # trainers keep pace with sampling (one group per drained wave); the
-    # backlog — the reference's queue build-up that motivates switching —
-    # is trained by the enlarged tail group
-    max_groups_per_drain = 1
 
     def __init__(
         self,
@@ -83,6 +91,98 @@ class SwitcherEngine(FactoredEngine):
         )
 
     _in_tail = False
+    _tail_reserve_batches: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    # tail sizing
+    # ------------------------------------------------------------------
+    def _calibrate_tail_reserve(self) -> int:
+        """One-time probe: time one sample wave, one T-group, one full
+        group; reserve the training backlog the T-mesh can't clear before
+        sampling ends. Probe train waves run on a copied state (the wave
+        donates its arg) with a key never used by real training."""
+        cfg = self.cfg
+        S, T = self.roles.num_sampler, self.roles.num_trainer
+        W = self.num_full
+        base = jax.random.key(cfg.seed ^ 0xCA11B)
+        seeds, n, _ = next(iter(self.shufflers[0].batches(0)))
+        keys = jnp.stack([jax.random.fold_in(base, i) for i in range(S)])
+        seeds_w = jnp.asarray(np.stack([seeds] * S))
+        nums_w = jnp.asarray(np.stack([np.int32(n)] * S))
+
+        def one_wave():
+            w = self.sample_wave(keys, seeds_w, nums_w)
+            ix = (self.index_wave(w.input_nodes)
+                  if self.index_wave is not None else None)
+            force_done(ix if ix is not None else w.num_input)
+            return w, ix
+
+        one_wave()                      # compile
+        t = Timer()
+        wave, idx = one_wave()
+        t_wave = t.passed()
+
+        wave_t = jax.device_put(wave, self.roles.trainer_replicated)
+        idx_t = (jax.device_put(idx, self.roles.trainer_replicated)
+                 if idx is not None else None)
+        batches = []
+        for i in range(max(T, W)):
+            b = jax.tree.map(lambda a: a[i % S], wave_t)
+            ix = (jax.tree.map(lambda a: a[i % S], idx_t)
+                  if idx_t is not None else None)
+            batches.append((b, ix))
+
+        def time_group(group, wave_fn, shard, width):
+            probe = jax.tree.map(jnp.copy, self.state)  # donation-safe
+            out = self._run_group(probe, group, wave_fn, shard, width,
+                                  jax.random.fold_in(base, 0xBEEF))
+            force_done(out[1])
+            tt = Timer()
+            probe = jax.tree.map(jnp.copy, self.state)
+            out = self._run_group(probe, group, wave_fn, shard, width,
+                                  jax.random.fold_in(base, 0xBEEF))
+            force_done(out[1])
+            return tt.passed()
+
+        g_t = time_group(batches[:T], self.train_wave,
+                         self.roles.trainer_sharding, T)
+        self._in_tail = True
+        try:
+            g_full = time_group(batches[:W], self.train_wave_full,
+                                self.full_shard, W)
+        finally:
+            self._in_tail = False
+
+        num_waves = max(sh.num_local_step for sh in self.shufflers)
+        G = -(-self.num_step // T)                     # total T-groups
+        sample_total = t_wave * num_waves
+        k = G - int(sample_total / max(g_t, 1e-9))     # backlog groups
+        k = max(0, min(k, G))
+        per_t, per_full = g_t / T, g_full / W          # per-batch costs
+        # the switcher always takes at least one full-width group (the
+        # sampler chips are idle by then — reference semantics); it takes
+        # the whole calibrated backlog only when the full mesh actually
+        # pays per batch
+        reserve = max(
+            min(W, self.num_step),
+            k * T if per_full <= per_t * 1.05 else 0,
+        )
+        log.info(
+            "switcher calibration: wave %.4fs x%d, T-group %.4fs x%d, "
+            "full-group %.4fs -> reserve %d of %d batches for the tail",
+            t_wave, num_waves, g_t, G, g_full, reserve, self.num_step,
+        )
+        return min(reserve, self.num_step)
+
+    def _main_loop_may_train(self, consumed: int) -> bool:
+        if self._tail_reserve_batches is None:
+            return True
+        return consumed < self.num_step - self._tail_reserve_batches
+
+    def run_epoch(self, epoch: int) -> dict:
+        if self._tail_reserve_batches is None:
+            self._tail_reserve_batches = self._calibrate_tail_reserve()
+        return super().run_epoch(epoch)
 
     def _feats_for(self, batch_t, index=None):
         if self._in_tail and self.switch_cache is not None:
@@ -107,17 +207,40 @@ class SwitcherEngine(FactoredEngine):
         state_full = jax.device_put(self.state, self.full_repl)
         self._in_tail = True
         try:
+            groups = []
             while pending_batches:
                 group = []
                 while pending_batches and len(group) < W:
                     group.append(pending_batches.popleft())
-                key = jax.random.fold_in(base, 0xD0 + len(losses))
-                state_full, loss, acc = self._run_group(
-                    state_full, group, self.train_wave_full, self.full_shard,
-                    W, key,
-                )
-                losses.append(loss)
-                accs.append(acc)
+                groups.append(group)
+            if (not self.feat_on_trainer) and not self._prof_stages:
+                # pipeline the tail's host miss gathers like the main
+                # loop: prep group k+1 under the full-mesh wave of k
+                pool = self._prep_pool()
+                futs = [
+                    (
+                        pool.submit(self._prep_group, g, W, self.full_shard),
+                        jax.random.fold_in(base, 0xD0 + len(losses) + i),
+                    )
+                    for i, g in enumerate(groups)
+                ]
+                for fut, key in futs:
+                    stacked, feats = fut.result()
+                    keys = jax.random.split(key, W)
+                    state_full, loss, acc = self.train_wave_full(
+                        state_full, stacked, feats, keys
+                    )
+                    losses.append(loss)
+                    accs.append(acc)
+            else:
+                for group in groups:
+                    key = jax.random.fold_in(base, 0xD0 + len(losses))
+                    state_full, loss, acc = self._run_group(
+                        state_full, group, self.train_wave_full,
+                        self.full_shard, W, key,
+                    )
+                    losses.append(loss)
+                    accs.append(acc)
         finally:
             self._in_tail = False
         self.state = jax.device_put(state_full, self.roles.trainer_replicated)
