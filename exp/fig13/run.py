@@ -1,0 +1,93 @@
+"""Figure 13 analog: pipelining on/off ablation.
+
+Reference: exp/fig13 runs the cached arch5 apps with `pipeline=True`
+(dist_loops_arch5.cc's #ifdef PIPELINE overlap); the paper's claim is
+that overlapping extract with train hides the feature-copy stage.
+
+We A/B `--pipeline` / `--no-pipeline` on the two paths that implement the
+2-stage overlap (host gather of step/group k+1 under device train of k):
+
+  arch1+cache : OneChipEngine split path (engine.py
+                _run_epoch_split_pipelined, cuda_loops_arch3.cc analog)
+  arch5+cache : FactoredEngine group prep thread (dist_loops_arch5.cc
+                PIPELINE analog)
+
+Measured overlap = pipelined epoch < unpipelined epoch, with the same
+per-stage sums (a scheduling change, not a work change).
+
+Usage: python exp/fig13/run.py [--cpu-mesh] [--synthetic-nodes N]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from exp.common.runner import run_app, write_json, write_table
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", default="synthetic")
+    p.add_argument("--synthetic-nodes", type=int, default=200_000)
+    p.add_argument("--num-epoch", type=int, default=4)
+    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--model", default="graphsage")
+    p.add_argument("--cache-percentage", type=float, default=0.2)
+    p.add_argument("--cpu-mesh", action="store_true")
+    args = p.parse_args()
+
+    env = {"FGNN_TPU_FEAT_HBM_BUDGET": "0"}  # force host-resident feats
+    if args.cpu_mesh:
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    base = [
+        "examples/train_gnn.py", "--model", args.model,
+        "--dataset", args.dataset,
+        "--synthetic-nodes", str(args.synthetic_nodes),
+        "--num-epoch", str(args.num_epoch),
+        "--batch-size", str(args.batch_size),
+        "--fanout", "5", "10", "15",
+        "--cache-policy", "pre_sample",
+        "--cache-percentage", str(args.cache_percentage),
+    ]
+
+    rows = [
+        ("arch1-nopipe", ["--arch", "arch1", "--no-pipeline"]),
+        ("arch1-pipe", ["--arch", "arch1"]),
+        ("arch5-nopipe", ["--arch", "arch5", "--num-sample-worker", "2",
+                          "--num-train-worker", "6", "--no-pipeline"]),
+        ("arch5-pipe", ["--arch", "arch5", "--num-sample-worker", "2",
+                        "--num-train-worker", "6"]),
+    ]
+
+    results = []
+    for tag, extra in rows:
+        print(f"[fig13] {tag}", flush=True)
+        r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
+                    env=env)
+        r.config["case"] = tag
+        results.append(r)
+
+    write_table(results, ["case", "epoch_time", "epoch_time:min"],
+                os.path.join(HERE, "fig13.dat"))
+    write_json(results, os.path.join(HERE, "fig13.json"))
+
+    # headline: overlap factor per arch
+    by = {r.config["case"]: r for r in results}
+    for arch in ("arch1", "arch5"):
+        try:
+            off = float(by[f"{arch}-nopipe"].values["epoch_time"])
+            on = float(by[f"{arch}-pipe"].values["epoch_time"])
+            print(f"[fig13] {arch}: pipeline {off:.3f}s -> {on:.3f}s "
+                  f"({off / max(on, 1e-9):.2f}x)", flush=True)
+        except (KeyError, ValueError):
+            pass
+
+
+if __name__ == "__main__":
+    main()

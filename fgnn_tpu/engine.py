@@ -11,6 +11,8 @@ Multi-chip factored/SGNN engines live in fgnn_tpu.parallel.factored.
 """
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 import jax
@@ -122,6 +124,9 @@ class OneChipEngine:
         )
         feat_itm = 2 if self.compute_dtype is not None else 4
         feat_bytes = ds.feat.shape[0] * ds.feat.shape[1] * feat_itm
+        feat_hbm_budget = int(
+            os.environ.get("FGNN_TPU_FEAT_HBM_BUDGET", feat_hbm_budget)
+        )
         self.feat_on_device = feat_bytes <= feat_hbm_budget
         if self.feat_on_device:
             # bf16 table halves both HBM residency and gather bandwidth

@@ -152,22 +152,86 @@ class HostSamplingEngine:
             return step(state, batch, feats, labels, key)
 
         self.train_jit = jax.jit(train_only, donate_argnums=(0,))
-        log.info("HostSamplingEngine (arch0): %d steps/epoch",
-                 self.shuffler.num_step)
+
+        # --- optional HBM feature cache (reference CPUEngine can pair
+        # with GPUCacheManager, cpu_engine.cc:82-90): host sampling, hot
+        # rows resident on the chip, host gather only for misses --------
+        self.cache = None
+        if cfg.use_cache:
+            from .cache.manager import FeatureCache
+            from .cache.policy import build_ranking
+            from .config import CachePolicy
+
+            if cfg.cache_policy in (CachePolicy.PRESAMPLE,
+                                    CachePolicy.PRESAMPLE_STATIC):
+                ranking = self._np_presample_ranking()
+            else:
+                ranking = build_ranking(ds, cfg.cache_policy, seed=cfg.seed)
+            self.cache = FeatureCache(
+                np.asarray(ds.feat), ranking, cfg.cache_percentage,
+                ds.num_node,
+            )
+        log.info("HostSamplingEngine (arch0): %d steps/epoch, cache=%s",
+                 self.shuffler.num_step,
+                 "off" if self.cache is None else
+                 f"{cfg.cache_percentage:.0%}/{cfg.cache_policy.value}")
+
+    def _np_presample_ranking(self) -> np.ndarray:
+        """PreSampler analog on the host sampler (pre_sampler.cc:57-132):
+        run presample_epoch epochs of the REAL sampler, count node
+        accesses, rank hottest-first."""
+        cfg = self.cfg
+        freq = np.zeros(self.ds.num_node, dtype=np.int64)
+        rng = np.random.default_rng(cfg.seed + 41)
+        for ep in range(max(1, cfg.presample_epoch)):
+            for seeds, n, _ in self.shuffler.batches(ep):
+                b = np_multi_layer_sample(
+                    rng, self.indptr, self.indices, seeds, n, self.plan,
+                    replace=(cfg.sample_type == SampleType.KHOP1),
+                )
+                ids = np.asarray(b.input_nodes)
+                ids = ids[ids >= 0]
+                np.add.at(freq, ids, 1)
+        return np.argsort(-freq, kind="stable").astype(np.int32)
 
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         t_epoch = Timer()
         losses, accs = [], []
         base = jax.random.key(cfg.seed + 99)
+        prof = Profiler.get()
         for seeds, n, step in self.shuffler.batches(epoch):
+            t = Timer()
             batch = np_multi_layer_sample(
                 self.rng, self.indptr, self.indices, seeds, n, self.plan,
                 replace=(cfg.sample_type == SampleType.KHOP1),
             )
-            feats = jnp.asarray(
-                host_gather(self.ds.feat, np.asarray(batch.input_nodes))
-            )
+            skey = prof.step_key(epoch, step)
+            st = t.passed()
+            prof.log_step(skey, "L1_sample_time", st)
+            prof.log_epoch_add(epoch, "epoch_sample_time", st)
+            t.reset()
+            if self.cache is not None:
+                idx = self.cache.get_miss_cache_index(batch.input_nodes)
+                miss = self.cache.host_extract_miss(
+                    np.asarray(idx.miss_ids), int(idx.num_miss)
+                )
+                feats = self.cache.combine(idx, jnp.asarray(miss))
+                F = miss.shape[1]
+                prof.log_epoch_add(epoch, "epoch_miss_bytes",
+                                   float(int(idx.num_miss) * F * 4))
+                prof.log_epoch_add(
+                    epoch, "epoch_feature_bytes",
+                    float(int(batch.num_input) * F * 4),
+                )
+            else:
+                feats = jnp.asarray(
+                    host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+                )
+            ct = t.passed()
+            prof.log_step(skey, "L1_copy_time", ct)
+            prof.log_epoch_add(epoch, "epoch_copy_time", ct)
+            t.reset()
             out = np.asarray(batch.output_nodes)
             labels = jnp.asarray(
                 np.where(out >= 0, self.label[np.maximum(out, 0)], -1)
@@ -178,6 +242,9 @@ class HostSamplingEngine:
             )
             losses.append(loss)
             accs.append(acc)
+            tt = t.passed()
+            prof.log_step(skey, "L1_train_time", tt)
+            prof.log_epoch_add(epoch, "epoch_train_time", tt)
         losses = [float(x) for x in losses]
         accs = [float(x) for x in accs]
         epoch_time = t_epoch.passed()

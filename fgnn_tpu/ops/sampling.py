@@ -274,7 +274,13 @@ def take_1d_blocked(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 # wide-range vertices clips the extras and raises the overflow flag (the
 # sampler-cap contract, ops/padding.py) instead of the round-1 lax.cond
 # fallback that made the program un-compilable in reasonable time.
-REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "1") not in (
+#
+# MEASURED NEGATIVE (v5e, 2026-08-17, tools/profile_fused_breakdown A/B):
+# region ON makes multi_layer_sample 14.2ms vs 11.3ms OFF (hop0 3.7 vs
+# 1.5) — the [V, F, LANE] lane-select broadcast costs more VPU time than
+# the saved row fetches. Kept opt-in for high-degree/weighted regimes
+# where the row count ratio is steeper.
+REGION_FETCH = _os.environ.get("FGNN_TPU_REGION_FETCH", "0") not in (
     "", "0", "false"
 )
 REGION_ROWS = 3

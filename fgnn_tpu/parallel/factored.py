@@ -493,7 +493,9 @@ class FactoredEngine(_EngineBase):
         # trainer wave of group k. Only worth a thread when features are
         # host-resident (cache mode); stage-profiled runs stay serial so
         # the timers mean what they say.
-        pipelined = (not self.feat_on_trainer) and not prof_stages
+        pipelined = (
+            cfg.pipeline and (not self.feat_on_trainer) and not prof_stages
+        )
         prep_pool = self._prep_pool() if pipelined else None
         prep_futs: deque = deque()
 

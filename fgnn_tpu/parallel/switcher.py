@@ -213,7 +213,11 @@ class SwitcherEngine(FactoredEngine):
                 while pending_batches and len(group) < W:
                     group.append(pending_batches.popleft())
                 groups.append(group)
-            if (not self.feat_on_trainer) and not self._prof_stages:
+            if (
+                self.cfg.pipeline
+                and (not self.feat_on_trainer)
+                and not self._prof_stages
+            ):
                 # pipeline the tail's host miss gathers like the main
                 # loop: prep group k+1 under the full-mesh wave of k
                 pool = self._prep_pool()
