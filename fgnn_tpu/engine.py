@@ -95,7 +95,12 @@ class OneChipEngine:
             prob_prefix_table=(
                 jnp.asarray(pad_lane(ds.prob_prefix_table))
                 if ds.prob_prefix_table is not None
-                and cfg.sample_type == SampleType.WEIGHTED_KHOP_PREFIX
+                and cfg.sample_type in (
+                    SampleType.WEIGHTED_KHOP_PREFIX,
+                    # hash-dedup recovers exact weights from the prefix
+                    # table for its Gumbel top-k branch
+                    SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+                )
                 else None
             ),
         )

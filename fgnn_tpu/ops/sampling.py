@@ -235,6 +235,131 @@ def _weighted_prefix(
     return jnp.where(valid, idx, -1), valid
 
 
+# oversampling rounds for the large-degree branch of the hash-dedup
+# sampler: T = ROUNDS * fanout alias draws, first-`fanout`-distinct kept.
+HASHDEDUP_ROUNDS = int(_os.environ.get("FGNN_TPU_HASHDEDUP_ROUNDS", "4"))
+# degree bound for the exact Gumbel branch (weight window spans at most
+# two 128-lane rows of the per-vertex prefix table)
+_GUMBEL_MAX_DEG = 128
+
+
+def _first_k_distinct(
+    idx: jnp.ndarray, k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per row, the first k distinct values of `idx` in draw order.
+
+    The set of the first k distinct values of an i.i.d. weighted stream is
+    exactly a weighted sample WITHOUT replacement (Efraimidis-Spirakis) —
+    the same distribution the reference's rejection loop produces
+    (cuda_sampling_weighted_khop_hash_dedup.cu:96-109), conditional on the
+    stream containing >= k distinct values.
+
+    Returns (picks [n,k], valid [n,k]); short rows (< k distinct in the
+    stream) pad with -1/False.
+    """
+    n, T = idx.shape
+    order = jnp.argsort(idx, axis=-1, stable=True)          # by value, ties by pos
+    sv = jnp.take_along_axis(idx, order, axis=-1)
+    first = jnp.concatenate(
+        [jnp.ones((n, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1
+    )
+    # first-occurrence positions of each distinct value; T = "no value"
+    fpos = jnp.where(first, order, T)
+    spos = jnp.sort(fpos, axis=-1)[:, :k]                   # draw order
+    valid = spos < T
+    picks = jnp.take_along_axis(
+        idx, jnp.minimum(spos, T - 1), axis=-1
+    )
+    return jnp.where(valid, picks, -1), valid
+
+
+def _weighted_gumbel_dedup(
+    key: jax.Array,
+    deg: jnp.ndarray,
+    off,
+    graph: CSRGraph,
+    fanout: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted khop WITHOUT replacement — hash-dedup sampler analog
+    (cuda_sampling_weighted_khop_hash_dedup.cu).
+
+    The reference draws alias picks per vertex, rejecting already-picked
+    neighbor ids until `fanout` UNIQUE neighbors are selected (i.e.
+    weighted sampling without replacement); vertices with deg <= fanout
+    take all neighbors (lines 85-95). TPU mapping, per degree regime:
+
+      deg <= fanout          : take every slot once.
+      fanout < deg <= 128    : EXACT without-replacement via Gumbel
+                               top-k over the vertex's weights
+                               (log w_j + Gumbel_j, keep top `fanout` —
+                               Efraimidis-Spirakis), with w_j recovered
+                               as diffs of the per-vertex cumulative
+                               prob_prefix_table fetched as two aligned
+                               128-lane rows. No rejection loop.
+      deg > 128              : ROUNDS*fanout alias draws, first-fanout-
+                               distinct kept (exact conditional on the
+                               stream holding >= fanout distinct slots;
+                               shortfall rows keep fewer edges).
+
+    Dedup is on the CSR slot, equal to neighbor-id dedup on simple
+    graphs (the reference dedups ids; a multigraph with repeated ids in
+    one adjacency list would differ).
+    """
+    n = deg.shape[0]
+    prefix = graph.prob_prefix_table
+    assert prefix is not None, (
+        "weighted_khop_hash_dedup needs prob_prefix_table on the graph"
+    )
+    k_g, k_s = jax.random.split(key)
+
+    # --- small branch: all slots ---------------------------------------
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, fanout), 1)
+    small_picks = jnp.where(col < deg[:, None], col, -1)
+
+    # --- Gumbel branch (fanout < deg <= 128): exact --------------------
+    G = _GUMBEL_MAX_DEG
+    assert prefix.shape[0] % INDICES_LANE == 0, "prefix table not lane-padded"
+    rows = prefix.reshape(-1, INDICES_LANE)
+    r0 = jnp.clip(
+        (off // INDICES_LANE).astype(jnp.int32), 0, rows.shape[0] - 2
+    )
+    two = jnp.take(
+        rows, r0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :], axis=0
+    ).reshape(n, 2 * INDICES_LANE)
+    s = (off - r0.astype(off.dtype) * INDICES_LANE).astype(jnp.int32)
+    wcol = jax.lax.broadcasted_iota(jnp.int32, (n, G), 1)
+    win = jnp.take_along_axis(
+        two, jnp.minimum(s[:, None] + wcol, 2 * INDICES_LANE - 1), axis=1
+    )                                                        # prefix[off+j]
+    w = jnp.concatenate([win[:, :1], win[:, 1:] - win[:, :-1]], axis=1)
+    in_deg = wcol < jnp.minimum(deg, G)[:, None]
+    gumbel = -jnp.log(-jnp.log(
+        jnp.clip(jax.random.uniform(k_g, (n, G)), 1e-20, 1.0)
+    ))
+    score = jnp.where(
+        in_deg, jnp.log(jnp.clip(w, 1e-20, None)) + gumbel, -jnp.inf
+    )
+    _, gumbel_picks = jax.lax.top_k(score, fanout)
+    gumbel_picks = gumbel_picks.astype(jnp.int32)
+
+    # --- stream branch (deg > 128): oversample + first-k-distinct ------
+    T = HASHDEDUP_ROUNDS * fanout
+    draws, _ = _weighted_alias(k_s, deg, off, graph, T)
+    stream_picks, stream_ok = _first_k_distinct(draws, fanout)
+
+    big = deg[:, None] > fanout
+    huge = deg[:, None] > G
+    picks = jnp.where(
+        huge, stream_picks, jnp.where(big, gumbel_picks, small_picks)
+    )
+    valid = jnp.where(
+        huge,
+        stream_ok,
+        jnp.where(big, jnp.ones_like(stream_ok), col < deg[:, None]),
+    )
+    return jnp.where(valid, picks, -1), valid
+
+
 # lane width for blocked 1D gathers from the CSR indices array: element
 # gathers on TPU serialize badly; gathering an aligned row of this many
 # lanes and selecting on the VPU is much faster. Narrower rows cut the
@@ -395,11 +520,10 @@ def sample_layer(
         idx, valid = _floyd_without_replacement(key, deg, fanout)
     elif sample_type == SampleType.KHOP1:
         idx, valid = _with_replacement(key, deg, fanout)
-    elif sample_type in (
-        SampleType.WEIGHTED_KHOP,
-        SampleType.WEIGHTED_KHOP_HASH_DEDUP,
-    ):
+    elif sample_type == SampleType.WEIGHTED_KHOP:
         idx, valid = _weighted_alias(key, deg, off, graph, fanout)
+    elif sample_type == SampleType.WEIGHTED_KHOP_HASH_DEDUP:
+        idx, valid = _weighted_gumbel_dedup(key, deg, off, graph, fanout)
     elif sample_type == SampleType.WEIGHTED_KHOP_PREFIX:
         idx, valid = _weighted_prefix(key, deg, off, graph, fanout)
     else:

@@ -83,7 +83,11 @@ def _put_graph(ds: Dataset, cfg: RunConfig, sharding) -> CSRGraph:
         alias_table=put(ds.alias_table) if weighted and ds.alias_table is not None else None,
         prob_prefix_table=(
             put(ds.prob_prefix_table)
-            if cfg.sample_type == SampleType.WEIGHTED_KHOP_PREFIX
+            if cfg.sample_type in (
+                SampleType.WEIGHTED_KHOP_PREFIX,
+                # hash-dedup's Gumbel branch needs exact weights
+                SampleType.WEIGHTED_KHOP_HASH_DEDUP,
+            )
             and ds.prob_prefix_table is not None
             else None
         ),

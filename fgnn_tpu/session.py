@@ -75,6 +75,11 @@ class _Session:
         else:
             self.ds = load_dataset(self.cfg.dataset,
                                    root=self.cfg.dataset_root)
+        if (self.cfg.sample_type.value.startswith("weighted")
+                and self.ds.prob_table is None):
+            from .data.synthetic import build_alias_tables
+
+            build_alias_tables(self.ds, seed=self.cfg.seed)
         Profiler.get().log_init("init_load_dataset", 0.0)
 
     # -- sample_init / train_init (role setup) ---------------------------
