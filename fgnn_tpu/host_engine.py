@@ -29,6 +29,138 @@ from .utils.profiler import Profiler
 log = get_logger(__name__)
 
 
+def _np_khop_hop(rng, indptr, indices, cur, f, replace):
+    """One uniform khop hop: native threaded sampler
+    (cpu_sampling_khop0.cc analog) when the shared object is built;
+    NumPy reference otherwise. Returns ([S,f] int32 -1-padded, None)."""
+    from . import native
+
+    S = cur.shape[0]
+    nat = native.sample_khop(
+        indptr, indices, cur[:S], f,
+        seed=int(rng.integers(0, 2**62)), replace=replace,
+    )
+    if nat is not None:
+        return nat, None
+    valid_in = cur >= 0
+    nbr = np.full((S, f), -1, dtype=np.int32)
+    if valid_in.any():
+        vs = cur[valid_in].astype(np.int64)
+        got, gv = np_sample_hop_vec(rng, indptr, indices, vs, f, replace)
+        nbr[valid_in] = np.where(gv, got, -1)
+    return nbr, None
+
+
+def _np_weighted_hop(rng, indptr, indices, gcum, cur, f, dedup=False):
+    """Weighted hop via inverse-CDF on a GLOBAL weight cumsum
+    (cpu_sampling_weighted_khop.cc analog, vectorized).
+
+    ``gcum`` is np.cumsum over ALL edge weights, so a single searchsorted
+    of `gcum[off-1] + u*total_v` lands directly on the global edge slot —
+    no per-vertex loop. With ``dedup`` the picks are made UNIQUE per
+    vertex (reference hash-dedup semantics): vectorized first-f-distinct
+    over an oversampled stream, then an exact per-row rejection loop for
+    the (rare) short rows.
+    """
+    S = cur.shape[0]
+    valid_in = cur >= 0
+    safe = np.maximum(cur, 0).astype(np.int64)
+    off = np.asarray(indptr)[safe]
+    end = np.asarray(indptr)[safe + 1]
+    deg = (end - off).astype(np.int64)
+    gpad = np.concatenate([[0.0], gcum])
+    base = gpad[off]
+    tot = gpad[end] - base
+    ok = valid_in & (deg > 0)
+
+    def draw(cols):
+        u = rng.random((S, cols)) * tot[:, None]
+        e = np.searchsorted(gcum, base[:, None] + u, side="left")
+        return np.clip(e, off[:, None], (end - 1)[:, None])
+
+    if not dedup:
+        e = draw(f)
+        nbr = np.where(ok[:, None], indices[e], -1).astype(np.int32)
+        return nbr, None
+
+    # --- hash-dedup: fanout UNIQUE picks (take-all when deg <= f) -------
+    T = 4 * f
+    e = draw(T)
+    order = np.argsort(e, axis=1, kind="stable")
+    sv = np.take_along_axis(e, order, axis=1)
+    first = np.concatenate(
+        [np.ones((S, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1
+    )
+    fpos = np.where(first, order, T)
+    spos = np.sort(fpos, axis=1)[:, :f]
+    picks = np.take_along_axis(e, np.minimum(spos, T - 1), axis=1)
+    got = np.where(spos < T, picks, -1)
+    want = np.minimum(deg, f)
+    # take-all for deg <= f
+    small = deg <= f
+    if small.any():
+        col = np.arange(f)[None, :]
+        allp = off[:, None] + col
+        got[small] = np.where(col < deg[small, None], allp[small], -1)
+    # exact rejection finish for rows still short (reference loop)
+    short = ok & ((got >= 0).sum(1) < want)
+    for i in np.nonzero(short)[0]:
+        have = set(int(x) for x in got[i] if x >= 0)
+        while len(have) < int(want[i]):
+            u = rng.random() * tot[i]
+            x = int(np.clip(np.searchsorted(gcum, base[i] + u), off[i],
+                            end[i] - 1))
+            have.add(x)
+        got[i] = list(have)[:f] + [-1] * (f - len(have))
+    nbr = np.where(ok[:, None] & (got >= 0), indices[np.maximum(got, 0)],
+                   -1).astype(np.int32)
+    return nbr, None
+
+
+def _np_random_walk_hop(rng, indptr, indices, cur, K, W, L, restart):
+    """PinSAGE hop: W walks of length L per vertex, early-terminated with
+    ``restart`` prob, then per-row top-K visited by multiplicity
+    (cpu_sampling_random_walk.cc + FrequencyHashmap analog). Returns
+    ([S,K] neighbors, [S,K] f32 visit-count weights)."""
+    S = cur.shape[0]
+    node = np.broadcast_to(cur[:, None], (S, W)).astype(np.int32).copy()
+    visits = np.full((S, W, L), -1, dtype=np.int32)
+    E = len(indices)
+    for step in range(L):
+        alive = node >= 0
+        safe = np.maximum(node, 0).astype(np.int64)
+        off = np.asarray(indptr)[safe]
+        deg = (np.asarray(indptr)[safe + 1] - off).astype(np.int64)
+        pick = np.minimum((rng.random((S, W)) * deg).astype(np.int64),
+                          np.maximum(deg - 1, 0))
+        nxt = indices[np.clip(off + pick, 0, E - 1)]
+        okw = alive & (deg > 0)
+        vis = np.where(okw, nxt, -1).astype(np.int32)
+        visits[:, :, step] = vis
+        die = rng.random((S, W)) < restart
+        node = np.where(okw & ~die, vis, -1)
+    flat = visits.reshape(S, W * L)
+    M = flat.shape[1]
+    eq = flat[:, :, None] == flat[:, None, :]
+    valid = flat >= 0
+    count = (eq & valid[:, None, :]).sum(axis=2)
+    iota = np.arange(M)
+    first = ((eq & (iota[None, None, :] < iota[None, :, None])).sum(axis=2)
+             == 0)
+    score = np.where(valid & first, count, 0)
+    k_eff = min(K, M)
+    topi = np.argsort(-score, axis=1, kind="stable")[:, :k_eff]
+    topv = np.take_along_axis(score, topi, axis=1)
+    dst = np.take_along_axis(flat, topi, axis=1)
+    okk = topv > 0
+    dst = np.where(okk, dst, -1)
+    w = np.where(okk, topv.astype(np.float32), 0.0)
+    if k_eff < K:
+        dst = np.pad(dst, ((0, 0), (0, K - k_eff)), constant_values=-1)
+        w = np.pad(w, ((0, 0), (0, K - k_eff)))
+    return dst.astype(np.int32), w
+
+
 def np_multi_layer_sample(
     rng: np.random.Generator,
     indptr: np.ndarray,
@@ -37,9 +169,14 @@ def np_multi_layer_sample(
     num_seeds: int,
     plan,
     replace: bool = False,
+    hop_fn=None,
 ) -> SampledBatch:
     """Host-side DoCPUSample analog producing the same padded Task layout
-    as the on-device sampler (cpu_loops.cc:55-192)."""
+    as the on-device sampler (cpu_loops.cc:55-192).
+
+    ``hop_fn(rng, cur, f, hop) -> (nbr [S,f], weights [S,f] or None)``
+    overrides the per-hop sampler (weighted / random-walk variants);
+    default is uniform khop."""
     cur = seeds_pad.copy()
     num_cur = num_seeds
     blocks_rev: List[Block] = []
@@ -47,24 +184,11 @@ def np_multi_layer_sample(
         f = plan.fanouts[hop]
         S = plan.num_input_cap[hop]
         cap = plan.num_unique_cap[hop]
-        valid_in = cur >= 0
-        # native threaded sampler (cpu_sampling_khop0.cc analog) when the
-        # shared object is built; NumPy reference otherwise
-        from . import native
-
-        nat = native.sample_khop(
-            indptr, indices, cur[:S], f,
-            seed=int(rng.integers(0, 2**62)), replace=replace,
-        )
-        if nat is not None:
-            nbr = nat
+        if hop_fn is None:
+            nbr, wgt = _np_khop_hop(rng, indptr, indices, cur[:S], f,
+                                    replace)
         else:
-            nbr = np.full((S, f), -1, dtype=np.int32)
-            if valid_in.any():
-                vs = cur[valid_in].astype(np.int64)
-                got, gv = np_sample_hop_vec(rng, indptr, indices, vs, f,
-                                            replace)
-                nbr[valid_in] = np.where(gv, got, -1)
+            nbr, wgt = hop_fn(rng, cur[:S], f, hop)
         nbr_flat = nbr.reshape(-1)
 
         # dedup: seeds-first + new nodes ascending (hashtable invariant)
@@ -89,6 +213,11 @@ def np_multi_layer_sample(
                 mask=jnp.asarray(mask),
                 num_src=jnp.int32(num_cur + n_new),
                 num_dst=jnp.int32(num_cur),
+                weights=(
+                    jnp.asarray(np.where(mask, wgt.reshape(-1), 0.0))
+                    if wgt is not None else None
+                ),
+                slots_per_dst=f,
             )
         )
         cur = unique
@@ -109,21 +238,54 @@ class HostSamplingEngine:
 
     def __init__(self, cfg: RunConfig, ds: Dataset):
         cfg.validate()
-        assert cfg.sample_type in (
-            SampleType.KHOP0, SampleType.KHOP1, SampleType.KHOP2
-        ), "host engine supports khop sampling"
         self.cfg = cfg
         self.ds = ds
         self.indptr = np.asarray(ds.indptr)
         self.indices = np.asarray(ds.indices)
-        fan_sampling = list(reversed(cfg.fanout))
+        st = cfg.sample_type
+        if st == SampleType.RANDOM_WALK:
+            fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
+        else:
+            fan_sampling = list(reversed(cfg.fanout))
         caps = calibrate_caps(
             self.indptr, self.indices, np.asarray(ds.train_set),
             cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
-            replace=(cfg.sample_type == SampleType.KHOP1),
+            replace=(st == SampleType.KHOP1),
         )
-        self.plan = make_plan(cfg.batch_size, cfg.fanout, ds.num_node,
-                              unique_caps=caps)
+        self.plan = make_plan(cfg.batch_size, list(reversed(fan_sampling)),
+                              ds.num_node, unique_caps=caps)
+
+        # per-hop sampler by type (cpu_sampling_*.cc dispatch analog)
+        self._hop_fn = None
+        if st in (SampleType.WEIGHTED_KHOP, SampleType.WEIGHTED_KHOP_PREFIX,
+                  SampleType.WEIGHTED_KHOP_HASH_DEDUP):
+            if ds.prob_prefix_table is None:
+                from .data.synthetic import build_alias_tables
+
+                build_alias_tables(ds, seed=cfg.seed)
+            # per-vertex prefix -> per-edge weights -> GLOBAL cumsum
+            w = np.asarray(ds.prob_prefix_table, np.float64).copy()
+            for v in range(ds.num_node):
+                o, e = int(self.indptr[v]), int(self.indptr[v + 1])
+                if e - o > 1:
+                    w[o + 1:e] = np.diff(w[o:e])
+            self._gcum = np.cumsum(w)
+            dedup = st == SampleType.WEIGHTED_KHOP_HASH_DEDUP
+
+            def _hop(rng, cur, f, hop, _d=dedup):
+                return _np_weighted_hop(rng, self.indptr, self.indices,
+                                        self._gcum, cur, f, dedup=_d)
+
+            self._hop_fn = _hop
+        elif st == SampleType.RANDOM_WALK:
+            def _hop(rng, cur, K, hop):
+                return _np_random_walk_hop(
+                    rng, self.indptr, self.indices, cur, K,
+                    cfg.num_random_walk, cfg.random_walk_length,
+                    cfg.random_walk_restart_prob,
+                )
+
+            self._hop_fn = _hop
         self.dst_caps = tuple(reversed(self.plan.num_input_cap))
         self.shuffler = EpochShuffler(
             ds.train_set, cfg.batch_size, self.plan.num_input_cap[0],
@@ -136,10 +298,7 @@ class HostSamplingEngine:
         self.rng = np.random.default_rng(cfg.seed)
 
         seeds0, n0, _ = next(self.shuffler.batches(0))
-        batch0 = np_multi_layer_sample(
-            self.rng, self.indptr, self.indices, seeds0, n0, self.plan,
-            replace=(cfg.sample_type == SampleType.KHOP1),
-        )
+        batch0 = self._sample(self.rng, seeds0, n0)
         feats0 = jnp.asarray(host_gather(ds.feat, np.asarray(batch0.input_nodes)))
         self.state, self.tx = create_train_state(
             self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
@@ -176,6 +335,13 @@ class HostSamplingEngine:
                  "off" if self.cache is None else
                  f"{cfg.cache_percentage:.0%}/{cfg.cache_policy.value}")
 
+    def _sample(self, rng, seeds, n) -> SampledBatch:
+        return np_multi_layer_sample(
+            rng, self.indptr, self.indices, seeds, n, self.plan,
+            replace=(self.cfg.sample_type == SampleType.KHOP1),
+            hop_fn=self._hop_fn,
+        )
+
     def _np_presample_ranking(self) -> np.ndarray:
         """PreSampler analog on the host sampler (pre_sampler.cc:57-132):
         run presample_epoch epochs of the REAL sampler, count node
@@ -185,10 +351,7 @@ class HostSamplingEngine:
         rng = np.random.default_rng(cfg.seed + 41)
         for ep in range(max(1, cfg.presample_epoch)):
             for seeds, n, _ in self.shuffler.batches(ep):
-                b = np_multi_layer_sample(
-                    rng, self.indptr, self.indices, seeds, n, self.plan,
-                    replace=(cfg.sample_type == SampleType.KHOP1),
-                )
+                b = self._sample(rng, seeds, n)
                 ids = np.asarray(b.input_nodes)
                 ids = ids[ids >= 0]
                 np.add.at(freq, ids, 1)
@@ -202,10 +365,7 @@ class HostSamplingEngine:
         prof = Profiler.get()
         for seeds, n, step in self.shuffler.batches(epoch):
             t = Timer()
-            batch = np_multi_layer_sample(
-                self.rng, self.indptr, self.indices, seeds, n, self.plan,
-                replace=(cfg.sample_type == SampleType.KHOP1),
-            )
+            batch = self._sample(self.rng, seeds, n)
             skey = prof.step_key(epoch, step)
             st = t.passed()
             prof.log_step(skey, "L1_sample_time", st)
