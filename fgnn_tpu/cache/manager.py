@@ -92,9 +92,14 @@ class FeatureCache:
         if self.num_cache:
             table[cache_nodes] = np.arange(self.num_cache, dtype=np.int32)
         self.cache_table = jnp.asarray(table)
+        # empty-feat fake table (smaller than the graph): index modulo,
+        # like GPUMockExtract (cuda_extraction.cu:51-72)
+        self._mod = (feat_host.shape[0]
+                     if feat_host.shape[0] < num_node else 0)
         # HBM-resident hot features (trainer-side blob, cache_manager_host.cc)
         if self.num_cache:
-            self.cache_data = jnp.asarray(feat_host[cache_nodes],
+            rows = cache_nodes % self._mod if self._mod else cache_nodes
+            self.cache_data = jnp.asarray(feat_host[rows],
                                           dtype=self.dtype)
         else:
             self.cache_data = jnp.zeros((1, feat_host.shape[1]), self.dtype)
@@ -133,6 +138,9 @@ class FeatureCache:
         first ``num_miss`` rows; the padded tail is zeros."""
         from .. import native
 
+        if self._mod:
+            miss_ids = np.where(miss_ids >= 0, miss_ids % self._mod,
+                                miss_ids).astype(miss_ids.dtype)
         if native.available() and self.feat_host.dtype == np.float32:
             out = native.gather_f32(self.feat_host, miss_ids, n_real=num_miss)
         else:

@@ -25,6 +25,8 @@ def make_synthetic_dataset(
     power: float = 1.5,
     neighbor_skew: float = 2.0,
     name: str = "synthetic",
+    empty_feat_rows: int = 0,
+    neighbor_pareto_alpha: float = 0.0,
 ) -> Dataset:
     """Zipf-ish degree distribution so cache policies have hot vertices.
 
@@ -43,19 +45,39 @@ def make_synthetic_dataset(
     # preferential-ish attachment: bias neighbor choice toward low ids, then
     # permute ids so hot vertices are scattered
     u = rng.random(num_edge)
-    nbr = (u ** neighbor_skew * num_node).astype(np.int64)  # skew toward small
+    if neighbor_pareto_alpha > 0:
+        # realistic degree-sequence model: dst drawn with probability
+        # proportional to a per-node Pareto(alpha) weight — alpha near 1
+        # reproduces papers100M-like access concentration (reference
+        # exp/fig10: top 20% of nodes draw ~99% of accesses) without a
+        # single absurd hot node
+        w = rng.pareto(neighbor_pareto_alpha, size=num_node) + 1.0
+        cumw = np.cumsum(w)
+        nbr = np.searchsorted(cumw, u * cumw[-1], side="right")
+        nbr = np.minimum(nbr, num_node - 1)
+    else:
+        nbr = (u ** neighbor_skew * num_node).astype(np.int64)  # skew->small
     perm = rng.permutation(num_node)
     indices = perm[np.minimum(nbr, num_node - 1)].astype(np.int32)
 
-    feat = rng.standard_normal((num_node, feat_dim), dtype=np.float32)
-    # learnable labels: argmax of a random linear map of features plus
-    # noise — GNNs can actually converge on them (purely random labels
-    # flat-line accuracy curves, which defeats fig16a-style experiments)
-    w = rng.standard_normal((feat_dim, num_class)).astype(np.float32)
-    logits = feat @ w + 2.0 * rng.standard_normal(
-        (num_node, num_class)
-    ).astype(np.float32)
-    label = np.argmax(logits, axis=1).astype(np.int32)
+    if empty_feat_rows:
+        # papers100M-scale dress rehearsals: a small fake feature table
+        # (SAMGRAPH_EMPTY_FEAT analog, engine.cc:138-155) indexed modulo —
+        # a real [num_node, feat_dim] table would need ~57GB host RAM
+        feat = rng.standard_normal(
+            (min(empty_feat_rows, num_node), feat_dim), dtype=np.float32
+        )
+        label = rng.integers(0, num_class, num_node).astype(np.int32)
+    else:
+        feat = rng.standard_normal((num_node, feat_dim), dtype=np.float32)
+        # learnable labels: argmax of a random linear map of features plus
+        # noise — GNNs can actually converge on them (purely random labels
+        # flat-line accuracy curves, which defeats fig16a-style experiments)
+        w = rng.standard_normal((feat_dim, num_class)).astype(np.float32)
+        logits = feat @ w + 2.0 * rng.standard_normal(
+            (num_node, num_class)
+        ).astype(np.float32)
+        label = np.argmax(logits, axis=1).astype(np.int32)
 
     ids = rng.permutation(num_node).astype(np.int32)
     n_train = max(1, int(num_node * train_frac))

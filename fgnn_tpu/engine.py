@@ -23,7 +23,8 @@ from . import constants
 from .config import CachePolicy, RunConfig, SampleType
 from .data.schema import Dataset
 from .models import build_model
-from .ops.extract import device_gather, host_gather, label_gather
+from .ops.extract import (device_gather, host_gather, label_gather,
+                          mock_gather)
 from .ops.padding import make_plan
 from .ops.reference_impl import calibrate_caps
 from .ops.sampling import CSRGraph, SampledBatch, multi_layer_sample
@@ -306,7 +307,13 @@ class OneChipEngine:
         self.train_jit = lambda state, key, batch, feats: self._train_g(
             state, self.label_dev, key, batch, feats
         )
-        self._gather_g = jax.jit(device_gather)
+        # empty-feat mode (fake table smaller than the graph): modulo
+        # indexing like GPUMockExtract (cuda_extraction.cu:51-72)
+        feat_gather = (
+            mock_gather if self.ds.feat.shape[0] < self.ds.num_node
+            else device_gather
+        )
+        self._gather_g = jax.jit(feat_gather)
 
         if self.feat_on_device:
             # HBM-resident features: skip last-hop dedup (see
@@ -321,7 +328,7 @@ class OneChipEngine:
             def fused_step(state, graph, feat, label, key, seeds, num_seeds):
                 batch = self._sample(graph, key, seeds, num_seeds,
                                      dedup_last_hop=dedup)
-                feats = device_gather(feat, batch.input_nodes)
+                feats = feat_gather(feat, batch.input_nodes)
                 labels = label_gather(label, batch.output_nodes)
                 k_drop = jax.random.fold_in(key, 0x5eed)
                 new_state, loss, acc = train_step(
@@ -464,6 +471,7 @@ class OneChipEngine:
         for seeds, n, step in self.shuffler.batches(epoch):
             key = jax.random.fold_in(base, epoch * self.shuffler.num_step + step)
             skey = prof.step_key(epoch, step)
+            t_step = Timer()  # L0Event_Train_Step span
             if self.sanity is not None:
                 # deterministic RNG + same dedup mode: resampling with the
                 # same key yields the exact batch the (possibly fused) step
@@ -542,13 +550,28 @@ class OneChipEngine:
                               * self.ds.feat.shape[1] * 4),
                     )
                 elif self.cache is not None:
-                    # miss/hit split + host gather of misses only
+                    # miss/hit split + host gather of misses only; stage
+                    # boundaries emit the reference's L3 CacheCopy trace
+                    # events (profiler.h:153-159)
+                    tc = Timer()
                     index = self.cache.get_miss_cache_index(batch.input_nodes)
-                    num_miss = int(index.num_miss)
+                    num_miss = int(index.num_miss)  # syncs the split
+                    if prof.trace_enabled:
+                        prof.trace_event(skey, "cache_get_index",
+                                         tc._start * 1e6, Timer.now_us())
+                        tc.reset()
                     miss = self.cache.host_extract_miss(
                         np.asarray(index.miss_ids), num_miss
                     )
+                    if prof.trace_enabled:
+                        prof.trace_event(skey, "cache_extract_miss",
+                                         tc._start * 1e6, Timer.now_us())
+                        tc.reset()
                     feats = self.cache.combine(index, jnp.asarray(miss))
+                    if prof.trace_enabled:
+                        force_done(feats)
+                        prof.trace_event(skey, "cache_copy_combine",
+                                         tc._start * 1e6, Timer.now_us())
                     itm = miss.dtype.itemsize
                     prof.log_step(
                         skey, "L1_miss_nbytes",
@@ -588,6 +611,8 @@ class OneChipEngine:
                 if prof.trace_enabled:
                     _ = float(loss)
                     prof.trace_event(skey, "train", t._start * 1e6,
+                                     Timer.now_us())
+                    prof.trace_event(skey, "train_step", t_step._start * 1e6,
                                      Timer.now_us())
                 if prof.log_node_access and in_nodes is not None:
                     prof.log_node_access_batch(in_nodes)
@@ -630,25 +655,43 @@ class OneChipEngine:
         steps = list(self.shuffler.batches(epoch))
         losses, accs, ovfs = [], [], []
         ex = ThreadPoolExecutor(max_workers=2)
+        # profile_level>=2: per-stage timers with a device sync per stage
+        # (the documented force-sync mode; perturbs but does not disable
+        # the host-gather overlap) — this is what fills table1/table5's
+        # Sample/Extract columns in pipelined cache mode
+        sync_stages = cfg.profile_level >= 2
         try:
             def stage_a(item):
                 seeds, n, step = item
                 key = jax.random.fold_in(
                     base, epoch * self.shuffler.num_step + step
                 )
+                skey = prof.step_key(epoch, step)
+                t = Timer()
                 batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n))
                 ovfs.append(batch.overflowed)
                 index = self.cache.get_miss_cache_index(batch.input_nodes)
+                if sync_stages:
+                    force_done(index.num_miss)
+                    st = t.passed()
+                    prof.log_step(skey, "L1_sample_time", st)
+                    prof.log_epoch_add(epoch, "epoch_sample_time", st)
 
                 def host_part():
                     # device fetch + host gather + async upload, all off
                     # the main thread
+                    tc = Timer()
                     num_miss = int(index.num_miss)
                     miss = self.cache.host_extract_miss(
                         np.asarray(index.miss_ids), num_miss
                     )
-                    return jax.device_put(miss), num_miss, miss.shape[1], \
-                        miss.dtype.itemsize
+                    out = jax.device_put(miss)
+                    if sync_stages:
+                        force_done(out)
+                        ct = tc.passed()
+                        prof.log_step(skey, "L1_copy_time", ct)
+                        prof.log_epoch_add(epoch, "epoch_copy_time", ct)
+                    return out, num_miss, miss.shape[1], miss.dtype.itemsize
 
                 return key, batch, index, ex.submit(host_part)
 
@@ -658,6 +701,7 @@ class OneChipEngine:
                 if i + 1 < len(steps):
                     pending = stage_a(steps[i + 1])
                 miss_t, num_miss, fdim, itm = fut.result()
+                tt = Timer()
                 feats = self.cache.combine(index, miss_t)
                 self.state, loss, acc = self.train_jit(
                     self.state, key, batch, feats
@@ -665,6 +709,11 @@ class OneChipEngine:
                 losses.append(loss)
                 accs.append(acc)
                 skey = prof.step_key(epoch, steps[i][2])
+                if sync_stages:
+                    force_done(loss)
+                    tr = tt.passed()
+                    prof.log_step(skey, "L1_train_time", tr)
+                    prof.log_epoch_add(epoch, "epoch_train_time", tr)
                 prof.log_step(skey, "L1_miss_nbytes",
                               float(num_miss * fdim * itm))
                 prof.log_epoch_add(epoch, "epoch_miss_bytes",

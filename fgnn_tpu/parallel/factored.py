@@ -31,7 +31,13 @@ from ..cache.policy import build_ranking
 from ..config import CachePolicy, RunConfig, SampleType
 from ..data.schema import Dataset
 from ..models import build_model
-from ..ops.extract import device_gather, label_gather
+from ..ops.extract import device_gather, label_gather, mock_gather
+
+
+def _pick_feat_gather(ds):
+    """Modulo indexing when the feat table is an empty-feat fake smaller
+    than the graph (GPUMockExtract, cuda_extraction.cu:51-72)."""
+    return mock_gather if ds.feat.shape[0] < ds.num_node else device_gather
 from ..ops.padding import make_plan
 from ..ops.random_walk import random_walk_topk
 from ..ops.reference_impl import calibrate_caps
@@ -104,7 +110,10 @@ class _EngineBase:
         # stage boundary (the reference's per-op cuda-event timing,
         # cuda_loops.cc:238-264, costs the same overlap). Level 1 keeps
         # async dispatch and reports only wall-clock epoch time.
-        self._prof_stages = cfg.profile_level >= 2
+        # per-stage timing at profile_level>=2; trace mode also needs the
+        # stepwise path (the scanned epoch program is trace-blind)
+        self._prof_stages = (cfg.profile_level >= 2
+                             or Profiler.get().trace_enabled)
         indptr = np.asarray(ds.indptr)
         if cfg.sample_type == SampleType.RANDOM_WALK:
             fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
@@ -392,7 +401,8 @@ class FactoredEngine(_EngineBase):
         trainer mesh). `index` is the sampler-computed miss/cache split
         (DoGetCacheMissIndex) when available."""
         if self.feat_on_trainer:
-            return device_gather(self.feat_t, batch_t.input_nodes)
+            return _pick_feat_gather(self.ds)(self.feat_t,
+                                              batch_t.input_nodes)
         assert self.cache is not None, (
             "host-resident features require a cache in factored mode"
         )
@@ -729,7 +739,8 @@ class SGNNEngine(_EngineBase):
         batch0 = single_sample(
             jax.random.key(cfg.seed), jnp.asarray(seeds0), jnp.int32(n0)
         )
-        feats0 = device_gather(self.feat_dev, batch0.input_nodes)
+        _fg = _pick_feat_gather(ds)
+        feats0 = _fg(self.feat_dev, batch0.input_nodes)
         state, self.tx = create_train_state(
             self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
             self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
@@ -752,7 +763,7 @@ class SGNNEngine(_EngineBase):
                 def one(k, s, n):
                     batch = self._sample_one(graph, k, s, n,
                                              dedup_last_hop=dedup)
-                    feats = device_gather(feat, batch.input_nodes)
+                    feats = _fg(feat, batch.input_nodes)
                     labels = label_gather(label, batch.output_nodes)
                     logits = model.apply(
                         {"params": params}, batch, feats, dst_caps,
@@ -864,8 +875,10 @@ class SGNNEngine(_EngineBase):
             out_shardings=shard,
         )
 
+        _fgw = _pick_feat_gather(self.ds)
+
         def gather_wave(feat, ids):
-            return jax.vmap(lambda i: device_gather(feat, i))(ids)
+            return jax.vmap(lambda i: _fgw(feat, i))(ids)
 
         self._p_gather_g = jax.jit(
             gather_wave, in_shardings=(repl, shard), out_shardings=shard,
@@ -943,12 +956,18 @@ class SGNNEngine(_EngineBase):
             prof.log_epoch_add(epoch, "epoch_sample_time", t.passed())
             skey = prof.step_key(epoch, local)
             prof.log_step(skey, "L1_sample_time", t.passed())
+            if prof.trace_enabled:
+                prof.trace_event(skey, "sample_wave", t._start * 1e6,
+                                 Timer.now_us())
             ovfs.append(wave.overflowed)
             t.reset()
             feats = self._p_gather_g(self.feat_dev, wave.input_nodes)
             force_done(feats)
             prof.log_epoch_add(epoch, "epoch_extract_time", t.passed())
             prof.log_step(skey, "L1_copy_time", t.passed())
+            if prof.trace_enabled:
+                prof.trace_event(skey, "extract", t._start * 1e6,
+                                 Timer.now_us())
             t.reset()
             self.state, loss, acc = self._p_train_g(
                 self.state, self.label_dev, wave, feats, keys,
@@ -957,6 +976,9 @@ class SGNNEngine(_EngineBase):
             force_done(loss)
             prof.log_epoch_add(epoch, "epoch_train_time", t.passed())
             prof.log_step(skey, "L1_train_time", t.passed())
+            if prof.trace_enabled:
+                prof.trace_event(skey, "train_wave", t._start * 1e6,
+                                 Timer.now_us())
             losses.append(float(loss))
             accs.append(float(acc))
         self._surface_overflow(

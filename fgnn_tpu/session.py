@@ -170,7 +170,11 @@ class _Session:
 
     def get_blocks(self, batch_key: int, num_layer: int):
         """get_dgl_blocks analog: (blocks, feat, label) for the model."""
+        from .utils import Timer
+
         eng = self.engine
+        prof = Profiler.get()
+        t_conv = Timer()  # kL1Event_Convert span (graph->framework blocks)
         batch = self._batches[batch_key]
         assert len(batch.blocks) == num_layer
         if eng.feat_on_device:
@@ -186,6 +190,11 @@ class _Session:
                 host_gather(self.ds.feat, np.asarray(batch.input_nodes))
             )
         labels = label_gather(eng.label_dev, batch.output_nodes)
+        ct = t_conv.passed()
+        prof.log_step(batch_key, "L1_convert_time", ct)
+        if prof.trace_enabled:
+            prof.trace_event(batch_key, "convert", t_conv._start * 1e6,
+                             Timer.now_us())
         return batch.blocks, feats, labels
 
     def get_graph_num_src(self, batch_key: int, layer: int) -> int:
