@@ -45,7 +45,7 @@ def main():
     p.add_argument("--num-node", type=int, default=111_059_956)
     p.add_argument("--avg-degree", type=float, default=14.5)
     p.add_argument("--neighbor-skew", type=float, default=6.0)
-    p.add_argument("--neighbor-pareto-alpha", type=float, default=1.03)
+    p.add_argument("--neighbor-lognormal-sigma", type=float, default=3.0)
     p.add_argument("--batch-size", type=int, default=8000)
     p.add_argument("--fanout", type=int, nargs="+", default=[25, 10])
     p.add_argument("--train-frac", type=float, default=0.01)
@@ -68,7 +68,7 @@ def main():
         num_node=args.num_node, avg_degree=int(args.avg_degree),
         feat_dim=128, num_class=172, train_frac=args.train_frac,
         seed=args.seed, neighbor_skew=args.neighbor_skew,
-        neighbor_pareto_alpha=args.neighbor_pareto_alpha,
+        neighbor_lognormal_sigma=args.neighbor_lognormal_sigma,
         empty_feat_rows=1 << 20, name="papers100m-shape",
     )
     print(f"[gen] {ds.num_node} nodes / {ds.num_edge} edges "
