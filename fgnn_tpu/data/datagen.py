@@ -125,6 +125,22 @@ def write_cache_rankings(ds: Dataset, path: str, seed: int = 0) -> None:
     w(constants.CACHE_BY_RANDOM_FILE, rank_random(ds, seed))
 
 
+def write_64(ds: Dataset, path: str) -> None:
+    """indptr64/indices64/{train,test,valid}_set64.bin — uint64 copies of
+    the topology + splits for frameworks that index in 64-bit
+    (toolkit/generator/32to64.cc analog)."""
+    def w64(fname, arr):
+        np.ascontiguousarray(
+            np.asarray(arr).astype(np.uint64)
+        ).tofile(os.path.join(path, fname))
+
+    w64("indptr64.bin", ds.indptr)
+    w64("indices64.bin", ds.indices)
+    w64("train_set64.bin", ds.train_set)
+    w64("test_set64.bin", ds.test_set)
+    w64("valid_set64.bin", ds.valid_set)
+
+
 def write_degrees(ds: Dataset, path: str) -> None:
     """in_degrees.bin / out_degrees.bin (toolkit/degree analog)."""
     out_deg = np.diff(ds.indptr).astype(np.uint32)
@@ -139,7 +155,8 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser("fgnn_tpu datagen")
-    p.add_argument("command", choices=["ogb", "synthetic", "rankings"])
+    p.add_argument("command", choices=["ogb", "synthetic", "rankings",
+                                       "to64"])
     p.add_argument("--name", default="ogbn-products")
     p.add_argument("--ogb-root", default="/graph-learning/data-raw")
     p.add_argument("--out-root", default=constants.DEFAULT_DATASET_ROOT)
@@ -164,6 +181,13 @@ def main():
         path = os.path.join(args.out_root, args.name)
         write_cache_rankings(ds, path)
         write_degrees(ds, path)
+        print(path)
+    elif args.command == "to64":
+        from .loader import load_dataset
+
+        ds = load_dataset(args.name, root=args.out_root)
+        path = os.path.join(args.out_root, args.name)
+        write_64(ds, path)
         print(path)
 
 

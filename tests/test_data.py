@@ -48,3 +48,23 @@ def test_alias_table_distribution():
     assert np.all(np.abs(counts - expect) < 6 * np.sqrt(expect + 1)), (
         counts, expect
     )
+
+
+def test_write_64(tmp_path):
+    """32to64.cc analog: uint64 copies of topology + splits round-trip."""
+    import os
+
+    import numpy as np
+
+    from fgnn_tpu.data import make_synthetic_dataset
+    from fgnn_tpu.data.datagen import write_64
+    from fgnn_tpu.data.synthetic import write_dataset
+
+    ds = make_synthetic_dataset(num_node=500, avg_degree=5, feat_dim=8,
+                                num_class=4, seed=0)
+    path = write_dataset(ds, str(tmp_path))
+    write_64(ds, path)
+    ind64 = np.fromfile(os.path.join(path, "indices64.bin"), dtype=np.uint64)
+    assert np.array_equal(ind64, np.asarray(ds.indices).astype(np.uint64))
+    ptr64 = np.fromfile(os.path.join(path, "indptr64.bin"), dtype=np.uint64)
+    assert np.array_equal(ptr64, np.asarray(ds.indptr).astype(np.uint64))
