@@ -29,6 +29,12 @@ def add_common_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--root-path", default=None,
                    help="dataset root (reference binary layout)")
     p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--synthetic-skew", type=float, default=2.0,
+                   help="neighbor access skew (6 ~ papers100M-like)")
+    p.add_argument("--synthetic-pref", type=float, default=0.0,
+                   help="fraction of edges with preferential attachment "
+                        "(hot targets = high out-degree nodes); 0.5 makes "
+                        "degree-based caching meaningful like real graphs")
     p.add_argument("--arch", default="arch5",
                    choices=[f"arch{i}" for i in range(8)])
     p.add_argument("--sample-type", default=None)
@@ -125,6 +131,8 @@ def load_app_dataset(args):
     ds = make_synthetic_dataset(
         num_node=args.synthetic_nodes, avg_degree=15, feat_dim=128,
         num_class=64, seed=args.seed,
+        neighbor_skew=getattr(args, "synthetic_skew", 2.0),
+        neighbor_pref=getattr(args, "synthetic_pref", 0.0),
     )
     if (args.sample_type or "").startswith("weighted"):
         build_alias_tables(ds, seed=args.seed)

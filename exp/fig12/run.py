@@ -20,9 +20,9 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--synthetic-nodes", type=int, default=200_000)
-    p.add_argument("--num-epoch", type=int, default=4)
-    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--synthetic-nodes", type=int, default=1_000_000)
+    p.add_argument("--num-epoch", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=2000)
     p.add_argument("--cache-percentage", type=float, default=0.2)
     p.add_argument("--models", nargs="+", default=["gcn", "graphsage"])
     p.add_argument("--cpu-mesh", action="store_true")
@@ -42,6 +42,7 @@ def main():
             "--num-epoch", str(args.num_epoch),
             "--batch-size", str(args.batch_size),
             "--fanout", "5", "10", "15",
+            "--synthetic-skew", "6", "--synthetic-pref", "0.5",
             "--cache-percentage", str(args.cache_percentage),
             "--profile-level", "2",
         ]

@@ -27,12 +27,20 @@ def make_synthetic_dataset(
     name: str = "synthetic",
     empty_feat_rows: int = 0,
     neighbor_lognormal_sigma: float = 0.0,
+    neighbor_pref: float = 0.0,
 ) -> Dataset:
     """Zipf-ish degree distribution so cache policies have hot vertices.
 
     ``neighbor_skew`` controls access concentration (u**skew neighbor
     choice): 2.0 (default) is mild; 6-8 approaches papers100M-like
     hot-set behavior where a 10-20% cache captures most accesses.
+
+    ``neighbor_pref`` is the fraction of edges whose hot-target choice is
+    mapped through the out-degree ranking (preferential attachment) instead
+    of a random permutation. 0.0 keeps access popularity independent of
+    out-degree (degree-based cache ranking degenerates to random); ~0.5
+    reproduces the real-graph regime the reference's fig12 shows, where
+    cache_by_degree sits between random and presample.
     """
     rng = np.random.default_rng(seed)
     # degree ~ bounded pareto, mean scaled to avg_degree
@@ -69,8 +77,14 @@ def make_synthetic_dataset(
             nbr = np.concatenate([nbr, extra])
     else:
         nbr = (u ** neighbor_skew * num_node).astype(np.int64)  # skew->small
+    nbr = np.minimum(nbr, num_node - 1)
     perm = rng.permutation(num_node)
-    indices = perm[np.minimum(nbr, num_node - 1)].astype(np.int32)
+    if neighbor_pref > 0.0:
+        order = np.argsort(-deg)  # rank r -> node with r-th highest out-degree
+        use_pref = rng.random(num_edge) < neighbor_pref
+        indices = np.where(use_pref, order[nbr], perm[nbr]).astype(np.int32)
+    else:
+        indices = perm[nbr].astype(np.int32)
 
     if empty_feat_rows:
         # papers100M-scale dress rehearsals: a small fake feature table

@@ -68,3 +68,29 @@ def test_write_64(tmp_path):
     assert np.array_equal(ind64, np.asarray(ds.indices).astype(np.uint64))
     ptr64 = np.fromfile(os.path.join(path, "indptr64.bin"), dtype=np.uint64)
     assert np.array_equal(ptr64, np.asarray(ds.indptr).astype(np.uint64))
+
+
+def test_synthetic_pref_correlates_degree_with_access():
+    """neighbor_pref maps hot targets through the out-degree ranking so a
+    degree-based cache ranking captures real access share (fig12 regime)."""
+    import numpy as np
+    from fgnn_tpu.data import make_synthetic_dataset
+
+    ds0 = make_synthetic_dataset(num_node=20_000, avg_degree=10, feat_dim=4,
+                                 num_class=4, seed=3, neighbor_skew=6.0,
+                                 neighbor_pref=0.0)
+    ds1 = make_synthetic_dataset(num_node=20_000, avg_degree=10, feat_dim=4,
+                                 num_class=4, seed=3, neighbor_skew=6.0,
+                                 neighbor_pref=0.5)
+
+    def degree_hit(ds, pct=0.2):
+        deg = np.asarray(ds.indptr[1:]) - np.asarray(ds.indptr[:-1])
+        hot = np.zeros(ds.num_node, bool)
+        hot[np.argsort(-deg)[: int(ds.num_node * pct)]] = True
+        return float(hot[np.asarray(ds.indices)].mean())
+
+    # without pref, in-access popularity is independent of out-degree
+    assert degree_hit(ds0) < 0.3
+    # with pref=0.5, half the edge mass rides the degree ranking
+    assert degree_hit(ds1) > 0.45
+    ds1.validate()
