@@ -1,0 +1,75 @@
+"""Figure 17a analog: dynamic switching on/off for PinSAGE.
+
+Reference exp/fig17a (README.md:1-14): one-epoch time of GNNLab training
+PinSAGE with and without dynamic switching (the balance switcher) at a
+fixed sampler/trainer split. PinSAGE's random-walk sampling is the
+sampler-bound workload where idle-trainer recovery pays. Here: arch5
+2S+6T on the CPU mesh (or pod slice), ±``--have-switcher``.
+
+Usage: python exp/fig17a/run.py [--cpu-mesh]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
+
+from exp.common.runner import run_app, write_json, write_table
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--num-epoch", type=int, default=3)
+    p.add_argument("--batch-size", type=int, default=4000)
+    p.add_argument("--num-sample-worker", type=int, default=2)
+    p.add_argument("--num-train-worker", type=int, default=6)
+    p.add_argument("--switch-cache-percentage", type=float, default=0.1)
+    p.add_argument("--cpu-mesh", action="store_true")
+    args = p.parse_args()
+
+    n = args.num_sample_worker + args.num_train_worker
+    env = {}
+    if args.cpu_mesh:
+        env = {
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": f"--xla_force_host_platform_device_count={n}",
+        }
+    base = [
+        "examples/train_gnn.py", "--model", "pinsage",
+        "--sample-type", "random_walk",
+        "--dataset", "synthetic",
+        "--synthetic-nodes", str(args.synthetic_nodes),
+        "--num-epoch", str(args.num_epoch),
+        "--batch-size", str(args.batch_size),
+        "--arch", "arch5",
+        "--num-sample-worker", str(args.num_sample_worker),
+        "--num-train-worker", str(args.num_train_worker),
+        "--profile-level", "2",
+    ]
+    results = []
+    for tag, extra in (
+        ("no_switch", []),
+        ("switch", ["--have-switcher", "--switch-cache-percentage",
+                    str(args.switch_cache_percentage)]),
+    ):
+        print(f"[fig17a] {tag}", flush=True)
+        r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
+                    env=env)
+        r.config["variant"] = tag
+        results.append(r)
+
+    write_table(
+        results,
+        ["variant", "epoch_time", "epoch_time:min", "sample_time",
+         "train_time"],
+        os.path.join(HERE, "fig17a.dat"),
+    )
+    write_json(results, os.path.join(HERE, "fig17a.json"))
+
+
+if __name__ == "__main__":
+    main()
