@@ -22,7 +22,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic-nodes", type=int, default=1_000_000)
     p.add_argument("--num-epoch", type=int, default=3)
-    p.add_argument("--batch-size", type=int, default=2000)
+    p.add_argument("--batch-size", type=int, default=4000)
     p.add_argument("--cache-percentage", type=float, default=0.2)
     p.add_argument("--models", nargs="+", default=["gcn", "graphsage"])
     p.add_argument("--cpu-mesh", action="store_true")
