@@ -113,6 +113,14 @@ def main():
         if v == 0.0 and l1_item is not None:
             v = prof.step_average(l1_item) * num_step
         log_test_result(col, f"{v:.4f}")
+    # per-stage / per-kernel items recorded at profile_level >= 2/3
+    # (report_step_average L2/L3 analog, operation.cc:284-300)
+    from fgnn_tpu.utils.profiler import STEP_ITEMS
+    for item in STEP_ITEMS:
+        if item.startswith("L1"):
+            continue
+        if prof._step.get(item):
+            log_test_result(item, f"{prof.step_average(item):.6f}")
     fb = prof.epoch_average("epoch_feature_bytes")
     mb = prof.epoch_average("epoch_miss_bytes")
     if fb > 0:

@@ -27,7 +27,8 @@ from .ops.extract import (device_gather, host_gather, label_gather,
                           mock_gather)
 from .ops.padding import make_plan
 from .ops.reference_impl import calibrate_caps
-from .ops.sampling import CSRGraph, SampledBatch, multi_layer_sample
+from .ops.sampling import (CSRGraph, SampledBatch, multi_layer_sample,
+                           sample_layer)
 from .ops.random_walk import random_walk_topk
 from .parallel.shuffler import EpochShuffler
 from .train.loop import create_train_state, make_train_step, make_eval_step
@@ -52,6 +53,9 @@ class OneChipEngine:
         self.cfg = cfg
         self.ds = ds
         prof = Profiler.get()
+        # cfg-requested detail unlocks the matching log_step gates even when
+        # FGNN_TPU_PROFILE_LEVEL wasn't exported (library users)
+        prof.level = max(prof.level, cfg.profile_level)
         t = Timer()
 
         # --- topology to device (SampleDataCopy analog) -------------------
@@ -403,6 +407,70 @@ class OneChipEngine:
             raise RuntimeError(msg)
         log.warning(msg)
 
+    def _profile_l3(self, key, seeds_dev, num, skey) -> None:
+        """Measurement-only de-fused sub-op timing at profile_level >= 3.
+
+        Re-runs the step's sampling workload (same key/seeds) as separate
+        jitted sub-programs with a sync per op, writing the reference's L3
+        per-kernel items (profiler.h:59-117 L3 taxonomy; timings the
+        reference takes around each CUDA kernel pipeline) plus the L2
+        stage aggregates they roll up into. The training batch itself
+        still comes from the fused sampler — this path only measures.
+        Only the khop family decomposes this way (random-walk is one
+        fused scan).
+        """
+        if self.cfg.sample_type == SampleType.RANDOM_WALK:
+            return
+        prof = Profiler.get()
+        plan = self.plan
+        if not hasattr(self, "_l3_fns"):
+            from .ops.hashtable import lookup_local_ids, unique_with_seeds
+
+            st = self.cfg.sample_type
+            samp, uniq, remap = [], [], []
+            for hop in range(plan.num_layer):
+                f = plan.fanouts[hop]
+                ucap = plan.num_unique_cap[hop]
+                icap = plan.num_input_cap[hop]
+                # graph threaded as a jit ARGUMENT (see _sample docstring)
+                samp.append(jax.jit(
+                    lambda g, k, cur, f=f: sample_layer(k, g, cur, f, st)
+                ))
+                uniq.append(jax.jit(
+                    lambda s, n, nb, ucap=ucap: unique_with_seeds(
+                        s, n, nb, ucap)
+                ))
+                remap.append(jax.jit(
+                    lambda u, nb, icap=icap: lookup_local_ids(u, icap, nb)
+                ))
+            self._l3_fns = (samp, uniq, remap)
+        samp, uniq, remap = self._l3_fns
+        cur, num_cur = seeds_dev, jnp.int32(num)
+        core = remap_t = 0.0
+        t = Timer()
+        for hop in range(plan.num_layer):
+            k = jax.random.fold_in(key, hop)
+            t.reset()
+            nbrs, valid, _ = samp[hop](self.graph, k, cur)
+            force_done(valid)
+            dt = t.passed()
+            prof.log_step_add(skey, "L3_khop_sample_coo_time", dt)
+            core += dt
+            t.reset()
+            unique, nu, _ovf = uniq[hop](cur, num_cur, nbrs)
+            force_done(nu)
+            du = t.passed()
+            prof.log_step_add(skey, "L3_remap_unique_time", du)
+            t.reset()
+            src_local = remap[hop](unique, nbrs)
+            force_done(src_local)
+            dm = t.passed()
+            prof.log_step_add(skey, "L3_remap_map_edge_time", dm)
+            remap_t += du + dm
+            cur, num_cur = unique, nu
+        prof.log_step(skey, "L2_core_sample_time", core)
+        prof.log_step(skey, "L2_id_remap_time", remap_t)
+
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         prof = Profiler.get()
@@ -508,7 +576,14 @@ class OneChipEngine:
                 # so each stage gets a true timer (same keys + same dedup mode
                 # ⇒ identical training math as the fused program)
                 t = Timer()
-                batch = self.sample_jit(key, jnp.asarray(seeds), jnp.int32(n),
+                seeds_dev = jnp.asarray(seeds)
+                if cfg.profile_level >= 2:
+                    # DoShuffle analog: batch-slice H2D upload time
+                    prof.log_step(skey, "L2_shuffle_time", t.passed())
+                if cfg.profile_level >= 3:
+                    self._profile_l3(key, seeds_dev, n, skey)
+                    t.reset()  # L1 spans exclude measurement re-runs
+                batch = self.sample_jit(key, seeds_dev, jnp.int32(n),
                                         dedup=self._train_dedup)
                 ovfs.append(batch.overflowed)
                 # fetch input ids to host only when a host-side consumer
@@ -520,7 +595,12 @@ class OneChipEngine:
                     and self.cache is None
                     and self.dyn_cache is None
                 ) or prof.log_node_access:
+                    tid = Timer()
                     in_nodes = np.asarray(batch.input_nodes)  # also syncs
+                    if cfg.profile_level >= 2:
+                        # DoIdCopy analog: input-ids D2H (includes waiting
+                        # out the in-flight sample program)
+                        prof.log_step(skey, "L2_id_copy_time", tid.passed())
                 elif cfg.profile_level >= 2:
                     force_done(batch.num_input)
                 st = t.passed()
@@ -534,6 +614,7 @@ class OneChipEngine:
                     feats = self._gather_g(self.feat_dev, batch.input_nodes)
                     if cfg.profile_level >= 2:
                         force_done(feats)
+                        prof.log_step(skey, "L2_extract_time", t.passed())
                     prof.log_epoch_add(epoch, "epoch_extract_time",
                                        t.passed())
                 elif self.dyn_cache is not None:
@@ -553,23 +634,36 @@ class OneChipEngine:
                     # miss/hit split + host gather of misses only; stage
                     # boundaries emit the reference's L3 CacheCopy trace
                     # events (profiler.h:153-159)
+                    lvl2 = cfg.profile_level >= 2
                     tc = Timer()
                     index = self.cache.get_miss_cache_index(batch.input_nodes)
                     num_miss = int(index.num_miss)  # syncs the split
+                    if lvl2:
+                        prof.log_step(skey, "L2_cache_get_index_time",
+                                      tc.passed())
                     if prof.trace_enabled:
                         prof.trace_event(skey, "cache_get_index",
                                          tc._start * 1e6, Timer.now_us())
-                        tc.reset()
+                    tc.reset()
                     miss = self.cache.host_extract_miss(
                         np.asarray(index.miss_ids), num_miss
                     )
+                    if lvl2:
+                        prof.log_step(skey, "L2_cache_extract_miss_time",
+                                      tc.passed())
                     if prof.trace_enabled:
                         prof.trace_event(skey, "cache_extract_miss",
                                          tc._start * 1e6, Timer.now_us())
-                        tc.reset()
+                    tc.reset()
                     feats = self.cache.combine(index, jnp.asarray(miss))
-                    if prof.trace_enabled:
+                    if lvl2 or prof.trace_enabled:
                         force_done(feats)
+                    if lvl2:
+                        # upload of the miss rows + the hit/miss scatter
+                        # merge in one span (DoCacheFeatureCopy steps 5-6)
+                        prof.log_step(skey, "L2_cache_combine_miss_time",
+                                      tc.passed())
+                    if prof.trace_enabled:
                         prof.trace_event(skey, "cache_copy_combine",
                                          tc._start * 1e6, Timer.now_us())
                     itm = miss.dtype.itemsize
@@ -586,7 +680,15 @@ class OneChipEngine:
                         float(int(batch.num_input) * miss.shape[1] * itm),
                     )
                 else:
-                    feats = jnp.asarray(host_gather(self.ds.feat, in_nodes))
+                    th = Timer()
+                    feats_h = host_gather(self.ds.feat, in_nodes)
+                    if cfg.profile_level >= 2:
+                        prof.log_step(skey, "L2_extract_time", th.passed())
+                    th.reset()
+                    feats = jnp.asarray(feats_h)
+                    if cfg.profile_level >= 2:
+                        force_done(feats)
+                        prof.log_step(skey, "L2_feat_copy_time", th.passed())
                 ct = t.passed()
                 prof.log_step(skey, "L1_copy_time", ct)
                 if not self.feat_on_device:

@@ -491,6 +491,9 @@ class FactoredEngine(_EngineBase):
             if prof_stages:
                 force_done(wave_t.num_input)
                 prof.log_epoch_add(epoch, "epoch_copy_time", t.passed())
+                # DoGraphCopy analog, keyed by wave ordinal within the epoch
+                prof.log_step(prof.step_key(epoch, len(wave_ovfs) - 1),
+                              "L2_graph_copy_time", t.passed())
                 if prof.trace_enabled:
                     prof.trace_event(len(wave_ovfs), "queue_copy",
                                      t._start * 1e6, Timer.now_us())

@@ -21,25 +21,37 @@ from .. import constants
 from ..config import env_int
 
 # Step items (profiler.h:59-117). L1 = headline, L2 = per-stage, L3 = per-kernel.
+#
+# Reference item names whose kernel pipelines are single fused XLA ops here
+# carry no separate timer and are intentionally absent from this list:
+#   kLogL2CacheCopyIndexTime / kLogL2CacheCopyMissTime — the index ships
+#     inside the same program as the split (no separate copy stage);
+#   kLogL2CacheCombineCacheTime — `FeatureCache.combine` merges hit-scatter
+#     and miss-scatter in ONE op, timed as L2_cache_combine_miss_time;
+#   kLogL3KHopSampleSortCooTime/CountEdgeTime/CompactEdgeTime — the
+#     count/scan/compact pipeline is replaced by masked static-shape
+#     padding (no compaction pass exists);
+#   kLogL3RemapPopulateTime — hashtable populate+unique is one sort
+#     (L3_remap_unique_time);
+#   kLogL3CacheGetIndexStep1-3 — the 3-kernel miss-index pipeline is one
+#     sort-partition program (L2_cache_get_index_time).
 STEP_ITEMS = [
-    # L1
+    # L1 — written by every engine (run_epoch / wave loops)
     "L1_num_node", "L1_num_sample", "L1_sample_time", "L1_copy_time",
     "L1_convert_time", "L1_train_time", "L1_feature_bytes", "L1_label_bytes",
     "L1_id_bytes", "L1_graph_bytes", "L1_miss_nbytes", "L1_remote_nbytes",
     "L1_prefetch_advanced", "L1_get_neighbour_time", "L1_send_time",
     "L1_recv_time",
-    # L2
+    # L2 — written by the stepwise path at profile_level >= 2 (engine.py)
+    # and the factored wave loop (parallel/factored.py)
     "L2_shuffle_time", "L2_core_sample_time", "L2_id_remap_time",
     "L2_graph_copy_time", "L2_id_copy_time", "L2_extract_time",
-    "L2_feat_copy_time", "L2_cache_get_index_time", "L2_cache_copy_index_time",
-    "L2_cache_extract_miss_time", "L2_cache_copy_miss_time",
-    "L2_cache_combine_miss_time", "L2_cache_combine_cache_time",
-    # L3
-    "L3_khop_sample_coo_time", "L3_khop_sort_coo_time",
-    "L3_khop_count_edge_time", "L3_khop_compact_edge_time",
-    "L3_remap_unique_time", "L3_remap_populate_time", "L3_remap_map_edge_time",
-    "L3_cache_get_index_step1_time", "L3_cache_get_index_step2_time",
-    "L3_cache_get_index_step3_time",
+    "L2_feat_copy_time", "L2_cache_get_index_time",
+    "L2_cache_extract_miss_time", "L2_cache_combine_miss_time",
+    # L3 — written by the de-fused measurement pass at profile_level >= 3
+    # (OneChipEngine._profile_l3)
+    "L3_khop_sample_coo_time", "L3_remap_unique_time",
+    "L3_remap_map_edge_time",
 ]
 
 EPOCH_ITEMS = [
