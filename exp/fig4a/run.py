@@ -54,6 +54,7 @@ def main():
         r = run_app(base + ["--cache-percentage", str(pct)],
                     os.path.join(HERE, "run-logs"), tag, env=env)
         r.config["cache_percentage"] = pct
+        r.config["num_node"] = args.synthetic_nodes  # consumed by fig4b
         results.append(r)
 
     write_table(

@@ -62,6 +62,14 @@ def _np_weighted_hop(rng, indptr, indices, gcum, cur, f, dedup=False):
     over an oversampled stream, then an exact per-row rejection loop for
     the (rare) short rows.
     """
+    from . import native
+
+    nat = native.sample_weighted_khop(
+        indptr, indices, gcum, cur, f,
+        seed=int(rng.integers(0, 2**62)), dedup=dedup,
+    )
+    if nat is not None:
+        return nat, None
     S = cur.shape[0]
     valid_in = cur >= 0
     safe = np.maximum(cur, 0).astype(np.int64)
@@ -122,6 +130,14 @@ def _np_random_walk_hop(rng, indptr, indices, cur, K, W, L, restart):
     ``restart`` prob, then per-row top-K visited by multiplicity
     (cpu_sampling_random_walk.cc + FrequencyHashmap analog). Returns
     ([S,K] neighbors, [S,K] f32 visit-count weights)."""
+    from . import native
+
+    nat = native.sample_random_walk(
+        indptr, indices, cur, W, L, restart, K,
+        seed=int(rng.integers(0, 2**62)),
+    )
+    if nat is not None:
+        return nat
     S = cur.shape[0]
     node = np.broadcast_to(cur[:, None], (S, W)).astype(np.int32).copy()
     visits = np.full((S, W, L), -1, dtype=np.int32)

@@ -53,8 +53,17 @@ def _try_load() -> Optional[ctypes.CDLL]:
             i64p, i32p, i32p, i64, i64, ctypes.c_uint64,
             ctypes.c_int32, i32p,
         ]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.fgnn_sample_weighted_khop.argtypes = [
+            i64p, i32p, f64p, i32p, i64, i64, ctypes.c_uint64,
+            ctypes.c_int32, i32p,
+        ]
+        lib.fgnn_sample_random_walk.argtypes = [
+            i64p, i32p, i32p, i64, i64, i64, ctypes.c_float, i64,
+            ctypes.c_uint64, i32p, f32p,
+        ]
     except AttributeError:
-        pass  # stale .so without the sampler — python fallback used
+        pass  # stale .so without the samplers — python fallback used
     _lib = lib
     return lib
 
@@ -156,6 +165,68 @@ def sample_khop(
         _ptr(out, ctypes.c_int32),
     )
     return out
+
+
+def sample_weighted_khop(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    gcum: np.ndarray,
+    inputs: np.ndarray,
+    fanout: int,
+    seed: int,
+    dedup: bool = False,
+) -> Optional[np.ndarray]:
+    """Threaded weighted host sampling (cpu_sampling_weighted_khop.cc
+    analog): inverse-CDF on the global edge-weight cumsum; ``dedup``
+    gives the hash-dedup per-vertex-unique semantics. Returns
+    [len(inputs), fanout] int32 (-1 padded) or None when unavailable."""
+    lib = _try_load()
+    if (lib is None or fanout > 256
+            or not hasattr(lib, "fgnn_sample_weighted_khop")):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    gcum = np.ascontiguousarray(gcum, dtype=np.float64)
+    inputs = np.ascontiguousarray(inputs, dtype=np.int32)
+    out = np.empty((len(inputs), fanout), dtype=np.int32)
+    lib.fgnn_sample_weighted_khop(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(gcum, ctypes.c_double), _ptr(inputs, ctypes.c_int32),
+        len(inputs), fanout, ctypes.c_uint64(seed & (2**64 - 1)),
+        ctypes.c_int32(int(dedup)), _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def sample_random_walk(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    inputs: np.ndarray,
+    num_walk: int,
+    walk_len: int,
+    restart: float,
+    topk: int,
+    seed: int,
+):
+    """Threaded PinSAGE host sampling (cpu_sampling_random_walk.cc +
+    FrequencyHashmap analog). Returns ([n, topk] int32 neighbors,
+    [n, topk] f32 visit-count weights) or None when unavailable."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "fgnn_sample_random_walk"):
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int32)
+    inputs = np.ascontiguousarray(inputs, dtype=np.int32)
+    nbr = np.empty((len(inputs), topk), dtype=np.int32)
+    w = np.empty((len(inputs), topk), dtype=np.float32)
+    lib.fgnn_sample_random_walk(
+        _ptr(indptr, ctypes.c_int64), _ptr(indices, ctypes.c_int32),
+        _ptr(inputs, ctypes.c_int32), len(inputs), num_walk, walk_len,
+        ctypes.c_float(restart), topk,
+        ctypes.c_uint64(seed & (2**64 - 1)),
+        _ptr(nbr, ctypes.c_int32), _ptr(w, ctypes.c_float),
+    )
+    return nbr, w
 
 
 def rank_desc(counts: np.ndarray) -> np.ndarray:

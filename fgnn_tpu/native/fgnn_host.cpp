@@ -154,4 +154,130 @@ void fgnn_sample_khop(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// Weighted host khop (cpu_sampling_weighted_khop.cc analog): inverse-CDF
+// draw on the global edge-weight cumsum `gcum` (float64, length num_edge).
+// For vertex v with edge range [off, end): draw u in [0, total_v), pick
+// the smallest edge slot e with gcum[e] > base + u. With dedup != 0 the
+// picks are made UNIQUE per vertex (hash-dedup semantics,
+// cpu_sampling_weighted_khop_hash_dedup analog): take-all when
+// deg <= fanout, else rejection-sample until fanout distinct slots.
+static inline double u01(uint64_t& st) {
+  st = splitmix64(st);
+  return (double)(st >> 11) * (1.0 / 9007199254740992.0);  // 2^-53
+}
+
+void fgnn_sample_weighted_khop(const int64_t* indptr, const int32_t* indices,
+                               const double* gcum, const int32_t* inputs,
+                               int64_t n_input, int64_t fanout, uint64_t seed,
+                               int32_t dedup, int32_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n_input; ++i) {
+    int32_t v = inputs[i];
+    int32_t* dst = out + i * fanout;
+    for (int64_t j = 0; j < fanout; ++j) dst[j] = -1;
+    if (v < 0) continue;
+    int64_t off = indptr[v];
+    int64_t end = indptr[v + 1];
+    int64_t deg = end - off;
+    if (deg <= 0) continue;
+    double base = off > 0 ? gcum[off - 1] : 0.0;
+    double tot = gcum[end - 1] - base;
+    uint64_t st = splitmix64(seed ^ (0x9e3779b97f4a7c15ull * (uint64_t)i));
+    if (dedup && deg <= fanout) {  // take-all
+      for (int64_t j = 0; j < deg; ++j) dst[j] = indices[off + j];
+      continue;
+    }
+    int64_t picks[256];  // fanout <= 256 enforced by caller
+    int64_t np = 0;
+    int64_t attempts = 0;
+    while (np < fanout && attempts < fanout * 64) {
+      ++attempts;
+      double u = base + u01(st) * tot;
+      // lower_bound over gcum[off..end-1] for first value > u
+      int64_t lo = off, hi = end;
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (gcum[mid] > u) hi = mid; else lo = mid + 1;
+      }
+      int64_t e = lo < end ? lo : end - 1;
+      if (dedup) {
+        bool dup = false;
+        for (int64_t k = 0; k < np; ++k)
+          if (picks[k] == e) { dup = true; break; }
+        if (dup) continue;
+      }
+      picks[np] = e;
+      dst[np++] = indices[e];
+    }
+  }
+}
+
+// PinSAGE host sampling (cpu_sampling_random_walk.cc + FrequencyHashmap
+// analog): W random walks of length L per seed, each step records the
+// visited node then terminates with probability `restart`; per-seed top-K
+// visited nodes by multiplicity become the (weighted) neighbors. Walks
+// stop at zero-degree nodes. Tie-break: earlier first-visit position wins
+// (matches the NumPy golden's stable argsort).
+void fgnn_sample_random_walk(const int64_t* indptr, const int32_t* indices,
+                             const int32_t* inputs, int64_t n_input,
+                             int64_t num_walk, int64_t walk_len,
+                             float restart, int64_t topk, uint64_t seed,
+                             int32_t* out_nbr, float* out_w) {
+  const int64_t M = num_walk * walk_len;
+#pragma omp parallel
+  {
+    std::vector<int32_t> visits(M);
+    std::vector<int32_t> cnt(M);
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < n_input; ++i) {
+      int32_t* nbr = out_nbr + i * topk;
+      float* w = out_w + i * topk;
+      for (int64_t k = 0; k < topk; ++k) { nbr[k] = -1; w[k] = 0.0f; }
+      int32_t v = inputs[i];
+      if (v < 0) continue;
+      uint64_t st = splitmix64(seed ^ (0xda942042e4dd58b5ull * (uint64_t)i));
+      for (int64_t wi = 0; wi < num_walk; ++wi) {
+        int32_t node = v;
+        for (int64_t step = 0; step < walk_len; ++step) {
+          int64_t idx = wi * walk_len + step;
+          if (node < 0) { visits[idx] = -1; continue; }
+          int64_t off = indptr[node];
+          int64_t deg = indptr[node + 1] - off;
+          if (deg <= 0) { visits[idx] = -1; node = -1; continue; }
+          st = splitmix64(st);
+          int32_t nxt = indices[off + (int64_t)(st % (uint64_t)deg)];
+          visits[idx] = nxt;
+          node = (u01(st) < (double)restart) ? -1 : nxt;
+        }
+      }
+      // multiplicity count at first-occurrence positions (others 0)
+      for (int64_t a = 0; a < M; ++a) {
+        cnt[a] = 0;
+        int32_t x = visits[a];
+        if (x < 0) continue;
+        bool first = true;
+        for (int64_t b = 0; b < a; ++b)
+          if (visits[b] == x) { first = false; break; }
+        if (!first) continue;
+        int32_t c = 0;
+        for (int64_t b = a; b < M; ++b)
+          if (visits[b] == x) ++c;
+        cnt[a] = c;
+      }
+      // top-K by count, stable by position
+      for (int64_t k = 0; k < topk; ++k) {
+        int64_t best = -1;
+        for (int64_t a = 0; a < M; ++a) {
+          if (cnt[a] <= 0) continue;
+          if (best < 0 || cnt[a] > cnt[best]) best = a;
+        }
+        if (best < 0) break;
+        nbr[k] = visits[best];
+        w[k] = (float)cnt[best];
+        cnt[best] = 0;
+      }
+    }
+  }
+}
+
 }  // extern "C"
