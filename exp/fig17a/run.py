@@ -48,7 +48,6 @@ def main():
         "--arch", "arch5",
         "--num-sample-worker", str(args.num_sample_worker),
         "--num-train-worker", str(args.num_train_worker),
-        "--profile-level", "2",
     ]
     results = []
     for tag, extra in (
@@ -57,8 +56,16 @@ def main():
                     str(args.switch_cache_percentage)]),
     ):
         print(f"[fig17a] {tag}", flush=True)
+        # headline epoch time at level 1; per-stage split from a second
+        # level-2 pass (stage timers sync per stage — table5 convention)
         r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
                     env=env)
+        rp = run_app(base + extra + ["--profile-level", "2"],
+                     os.path.join(HERE, "run-logs"), tag + "_stages",
+                     env=env)
+        for k in ("sample_time", "copy_time", "extract_time", "train_time"):
+            if rp.values.get(k):
+                r.values[k] = rp.values[k]
         r.config["variant"] = tag
         results.append(r)
 
