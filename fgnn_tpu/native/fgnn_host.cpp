@@ -190,6 +190,9 @@ void fgnn_sample_weighted_khop(const int64_t* indptr, const int32_t* indices,
     int64_t picks[256];  // fanout <= 256 enforced by caller
     int64_t np = 0;
     int64_t attempts = 0;
+    // bounded retries: under extreme weight concentration dedup rows may
+    // come up short (trailing -1 slots) rather than spin — the padded-COO
+    // contract treats -1 as absent, matching a clipped reference pick set
     while (np < fanout && attempts < fanout * 64) {
       ++attempts;
       double u = base + u01(st) * tot;
