@@ -114,6 +114,9 @@ class _EngineBase:
         # stepwise path (the scanned epoch program is trace-blind)
         self._prof_stages = (cfg.profile_level >= 2
                              or Profiler.get().trace_enabled)
+        # cfg-requested detail unlocks the matching log_step gates even
+        # when FGNN_TPU_PROFILE_LEVEL wasn't exported (library users)
+        Profiler.get().level = max(Profiler.get().level, cfg.profile_level)
         indptr = np.asarray(ds.indptr)
         if cfg.sample_type == SampleType.RANDOM_WALK:
             fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw

@@ -69,6 +69,20 @@ def test_every_taxonomy_item_has_a_writer_or_doc():
             assert item in written, f"{item} listed but never referenced"
 
 
+def test_l2_graph_copy_written_factored(small_ds):
+    from fgnn_tpu.parallel.factored import FactoredEngine
+
+    Profiler.reset()
+    cfg = RunConfig(model="graphsage", fanout=(3, 5), batch_size=64,
+                    num_hidden=32, sample_type=SampleType.KHOP0,
+                    num_epoch=1, profile_level=2,
+                    num_sample_worker=1, num_train_worker=3)
+    eng = FactoredEngine(cfg, small_ds)
+    eng.run_epoch(0)
+    prof = Profiler.get()
+    assert prof._step.get("L2_graph_copy_time"), "wave copy timer missing"
+
+
 def test_l1_gating_level1_skips_l2(small_ds):
     cfg = RunConfig(model="graphsage", fanout=(3, 5), batch_size=64,
                     num_hidden=32, sample_type=SampleType.KHOP0,
