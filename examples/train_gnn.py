@@ -125,6 +125,9 @@ def main():
     mb = prof.epoch_average("epoch_miss_bytes")
     if fb > 0:
         log_test_result("cache_hit_rate", f"{1.0 - mb / fb:.4f}")
+        # staged miss volume per epoch: the chip-independent physical
+        # effect the hit rate buys (kLogEpochMissBytes analog)
+        log_test_result("miss_mb", f"{mb / 2**20:.2f}")
     if prof.log_node_access:
         prof.report_node_access("node", ds.num_node)
     log_test_result("init:presample", f"{prof._init.get('init_presample', 0.0):.4f}")

@@ -58,7 +58,7 @@ def main():
     write_table(
         results,
         ["model", "policy", "cache_hit_rate", "copy_time", "train_time",
-         "epoch_time"],
+         "epoch_time", "epoch_time:min"],
         os.path.join(HERE, "fig12.dat"),
     )
     write_json(results, os.path.join(HERE, "fig12.json"))
