@@ -54,6 +54,11 @@ def main():
     p.add_argument("--cache-percentage", type=float, default=0.15)
     p.add_argument("--model", default="graphsage")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile-level", type=int, default=1,
+                   help="2 forces the stepwise path — smaller programs "
+                        "for the remote compile service (the fused "
+                        "whole-epoch scan can take >1h to compile at "
+                        "papers100M caps) at ~RTT/step dispatch cost")
     args = p.parse_args()
 
     import numpy as np
@@ -81,6 +86,7 @@ def main():
             model=args.model, fanout=tuple(args.fanout),
             batch_size=args.batch_size, num_hidden=256,
             sample_type=SampleType.KHOP2, dropout=0.5, lr=0.003,
+            profile_level=args.profile_level,
         )
     else:
         os.environ["FGNN_TPU_FEAT_HBM_BUDGET"] = "0"
@@ -90,7 +96,7 @@ def main():
             sample_type=SampleType.KHOP2, dropout=0.5, lr=0.003,
             cache_policy=CachePolicy.PRESAMPLE,
             cache_percentage=args.cache_percentage,
-            presample_epoch=1, profile_level=1,
+            presample_epoch=1, profile_level=max(1, args.profile_level),
         )
 
     t0 = time.perf_counter()
