@@ -59,26 +59,63 @@ def main():
                         "for the remote compile service (the fused "
                         "whole-epoch scan can take >1h to compile at "
                         "papers100M caps) at ~RTT/step dispatch cost")
+    p.add_argument("--cache-dir", default="/tmp/p100m_ds",
+                   help="generation takes 25-45 min host-side; save the "
+                        "arrays once and mmap them on later runs "
+                        "(train split regenerated per --train-frac)")
     args = p.parse_args()
 
     import numpy as np
 
     from fgnn_tpu.config import CachePolicy, RunConfig, SampleType
     from fgnn_tpu.data import make_synthetic_dataset
+    from fgnn_tpu.data.schema import Dataset
     from fgnn_tpu.engine import OneChipEngine
     from fgnn_tpu.utils.profiler import Profiler
 
     t0 = time.perf_counter()
-    ds = make_synthetic_dataset(
-        num_node=args.num_node, avg_degree=int(args.avg_degree),
-        feat_dim=128, num_class=172, train_frac=args.train_frac,
-        seed=args.seed, neighbor_skew=args.neighbor_skew,
-        neighbor_lognormal_sigma=args.neighbor_lognormal_sigma,
-        empty_feat_rows=1 << 20, name="papers100m-shape",
-    )
-    print(f"[gen] {ds.num_node} nodes / {ds.num_edge} edges "
-          f"({ds.num_edge * 4 / 2**30:.1f} GB indices) "
-          f"in {time.perf_counter() - t0:.0f}s", flush=True)
+    cd = args.cache_dir
+    stamp = (f"n{args.num_node}_d{int(args.avg_degree)}"
+             f"_s{args.neighbor_skew}_l{args.neighbor_lognormal_sigma}"
+             f"_seed{args.seed}")
+    if cd and os.path.exists(os.path.join(cd, stamp, "indices.npy")):
+        d = os.path.join(cd, stamp)
+        indptr = np.load(os.path.join(d, "indptr.npy"), mmap_mode="r")
+        indices = np.load(os.path.join(d, "indices.npy"), mmap_mode="r")
+        feat = np.load(os.path.join(d, "feat.npy"), mmap_mode="r")
+        label = np.load(os.path.join(d, "label.npy"), mmap_mode="r")
+        rng = np.random.default_rng(args.seed + 99)
+        n_train = max(1, int(args.num_node * args.train_frac))
+        ids = rng.choice(args.num_node, size=n_train + 2048,
+                         replace=False).astype(np.int32)
+        ds = Dataset(
+            name="papers100m-shape", num_node=args.num_node,
+            num_edge=int(indices.shape[0]), num_class=172,
+            indptr=indptr, indices=indices, feat=feat, label=label,
+            train_set=ids[:n_train], test_set=ids[n_train:n_train + 1024],
+            valid_set=ids[n_train + 1024:],
+        )
+        print(f"[gen] loaded {d} ({ds.num_edge} edges) "
+              f"in {time.perf_counter() - t0:.0f}s", flush=True)
+    else:
+        ds = make_synthetic_dataset(
+            num_node=args.num_node, avg_degree=int(args.avg_degree),
+            feat_dim=128, num_class=172, train_frac=args.train_frac,
+            seed=args.seed, neighbor_skew=args.neighbor_skew,
+            neighbor_lognormal_sigma=args.neighbor_lognormal_sigma,
+            empty_feat_rows=1 << 20, name="papers100m-shape",
+        )
+        print(f"[gen] {ds.num_node} nodes / {ds.num_edge} edges "
+              f"({ds.num_edge * 4 / 2**30:.1f} GB indices) "
+              f"in {time.perf_counter() - t0:.0f}s", flush=True)
+        if cd:
+            d = os.path.join(cd, stamp)
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, "indptr.npy"), ds.indptr)
+            np.save(os.path.join(d, "indices.npy"), ds.indices)
+            np.save(os.path.join(d, "feat.npy"), ds.feat)
+            np.save(os.path.join(d, "label.npy"), ds.label)
+            print(f"[gen] saved to {d}", flush=True)
     assert ds.num_edge < 2**31, "int32 indptr bound"
 
     if args.mode == "hbm":
