@@ -22,15 +22,22 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", default="synthetic")
     p.add_argument("--synthetic-nodes", type=int, default=200_000)
-    p.add_argument("--num-epoch", type=int, default=4)
+    p.add_argument("--num-epoch", type=int, default=None)
     p.add_argument("--num-workers", type=int, default=8,
                    help="total chips (arch5 splits S+T, arch6 uses all)")
-    p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default 8000 on real chips (the reference "
+                        "config); 2000 on the virtual CPU mesh, where "
+                        "8000-seed 3-hop batches take minutes/step")
     p.add_argument("--models", nargs="+",
                    default=["gcn", "graphsage", "pinsage"])
     p.add_argument("--cpu-mesh", action="store_true",
                    help="force 8-device virtual CPU mesh")
     args = p.parse_args()
+    if args.batch_size is None:
+        args.batch_size = 2000 if args.cpu_mesh else 8000
+    if args.num_epoch is None:
+        args.num_epoch = 3 if args.cpu_mesh else 4
 
     env = {}
     if args.cpu_mesh:
