@@ -49,20 +49,26 @@ def main():
         "--num-sample-worker", str(args.num_sample_worker),
         "--num-train-worker", str(args.num_train_worker),
     ]
+    switch_args = ["--have-switcher", "--switch-cache-percentage",
+                   str(args.switch_cache_percentage)]
     results = []
-    for tag, extra in (
-        ("no_switch", []),
-        ("switch", ["--have-switcher", "--switch-cache-percentage",
-                    str(args.switch_cache_percentage)]),
+    for tag, extra, xenv in (
+        ("no_switch", [], {}),
+        # cost-gated: declines the tail when the full mesh measures
+        # slower per batch (e.g. the oversubscribed virtual CPU mesh)
+        ("switch", switch_args, {}),
+        # forced tail: demonstrates the S+T-mesh tail mechanics
+        # regardless of the gate
+        ("switch_forced", switch_args, {"FGNN_TPU_SWITCHER_FORCE": "1"}),
     ):
         print(f"[fig17a] {tag}", flush=True)
         # headline epoch time at level 1; per-stage split from a second
         # level-2 pass (stage timers sync per stage — table5 convention)
         r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
-                    env=env)
+                    env={**env, **xenv})
         rp = run_app(base + extra + ["--profile-level", "2"],
                      os.path.join(HERE, "run-logs"), tag + "_stages",
-                     env=env)
+                     env={**env, **xenv})
         for k in ("sample_time", "copy_time", "extract_time", "train_time"):
             if rp.values.get(k):
                 r.values[k] = rp.values[k]

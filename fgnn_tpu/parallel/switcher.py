@@ -159,18 +159,36 @@ class SwitcherEngine(FactoredEngine):
         k = G - int(sample_total / max(g_t, 1e-9))     # backlog groups
         k = max(0, min(k, G))
         per_t, per_full = g_t / T, g_full / W          # per-batch costs
-        # the switcher always takes at least one full-width group (the
-        # sampler chips are idle by then — reference semantics); it takes
-        # the whole calibrated backlog only when the full mesh actually
-        # pays per batch
-        reserve = max(
-            min(W, self.num_step),
-            k * T if per_full <= per_t * 1.05 else 0,
-        )
+
+        # Engage only when the measured full mesh actually pays. On real
+        # chips the sampler chips are idle by tail time, so a W-wide group
+        # costs about one T-wide group (g_full ~= g_t) and both gates
+        # pass; on an OVERSUBSCRIBED virtual mesh (8 devices on 4 cores)
+        # "idle" chips still consume host cores, g_full measures slower,
+        # and the switcher declines rather than regress — the reference's
+        # queue-reactive switcher has the same property (it only grabs
+        # work an idle GPU can absorb). FGNN_TPU_SWITCHER_FORCE=1
+        # overrides for mechanics demonstrations.
+        import os as _os
+
+        force = _os.environ.get("FGNN_TPU_SWITCHER_FORCE", "") not in (
+            "", "0", "false")
+        min_tail = min(W, self.num_step)
+        # cost of one full-width group vs pushing those batches through
+        # the T-mesh instead
+        min_tail_pays = g_full <= (-(-min_tail // T)) * g_t * 1.05
+        backlog_pays = per_full <= per_t * 1.05
+        reserve = 0
+        if backlog_pays:
+            reserve = k * T
+        if reserve == 0 and (min_tail_pays or force):
+            reserve = min_tail
         log.info(
             "switcher calibration: wave %.4fs x%d, T-group %.4fs x%d, "
-            "full-group %.4fs -> reserve %d of %d batches for the tail",
+            "full-group %.4fs -> reserve %d of %d batches for the tail%s",
             t_wave, num_waves, g_t, G, g_full, reserve, self.num_step,
+            " (declined: full mesh measured slower per batch)"
+            if reserve == 0 else "",
         )
         return min(reserve, self.num_step)
 

@@ -32,9 +32,12 @@ def test_switcher_engine_trains(small_ds):
     assert r1["loss"] < r0["loss"]
 
 
-def test_switcher_tail_uses_full_mesh(small_ds):
+def test_switcher_tail_uses_full_mesh(small_ds, monkeypatch):
     """With T=1 trainer and many steps, the tail phase must actually run
-    groups on the enlarged mesh (otherwise the full wave is dead code)."""
+    groups on the enlarged mesh (otherwise the full wave is dead code).
+    Forced: on the oversubscribed virtual mesh the cost gate may
+    (correctly) decline the tail."""
+    monkeypatch.setenv("FGNN_TPU_SWITCHER_FORCE", "1")
     from fgnn_tpu.parallel import switcher as sw
 
     eng = sw.SwitcherEngine(
