@@ -103,7 +103,10 @@ def write_table(results: List[RunResult], columns: List[str],
         for r in results:
             row = []
             for c in columns:
-                row.append(r.values.get(c) or r.config.get(c, "X"))
+                v = r.values.get(c)
+                if v is None:
+                    v = r.config.get(c, "X")
+                row.append(str(v))
             f.write("\t".join(row) + "\n")
     print(f"[exp] wrote {path}")
 
