@@ -43,7 +43,7 @@ def main():
     env = {"FGNN_TPU_FEAT_HBM_BUDGET": "0"}  # force host-resident feats
     if args.cpu_mesh:
         env["JAX_PLATFORMS"] = "cpu"
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        env["XLA_FLAGS"] = "--xla_cpu_collective_call_terminate_timeout_seconds=600 --xla_force_host_platform_device_count=8"
 
     base = [
         "examples/train_gnn.py", "--model", args.model,

@@ -28,7 +28,7 @@ def main():
     if args.cpu_mesh:
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=8"
+            + " --xla_cpu_collective_call_terminate_timeout_seconds=600 --xla_force_host_platform_device_count=8"
         )
         import jax
 

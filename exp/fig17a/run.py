@@ -36,7 +36,7 @@ def main():
     if args.cpu_mesh:
         env = {
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": f"--xla_force_host_platform_device_count={n}",
+            "XLA_FLAGS": f"--xla_cpu_collective_call_terminate_timeout_seconds=600 --xla_force_host_platform_device_count={n}",
         }
     base = [
         "examples/train_gnn.py", "--model", "pinsage",

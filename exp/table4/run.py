@@ -43,7 +43,7 @@ def main():
     if args.cpu_mesh:
         env = {
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+            "XLA_FLAGS": "--xla_cpu_collective_call_terminate_timeout_seconds=600 --xla_force_host_platform_device_count=8",
         }
 
     results = []

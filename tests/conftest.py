@@ -12,8 +12,12 @@ import os
 # first backend init, so setting it here still works.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
+    # 8 virtual devices on few physical cores starves collective
+    # rendezvous under load; raise XLA CPU's 40s hard-kill so heavy
+    # wave tests can't be terminated by scheduler skew
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600"
     ).strip()
 
 if not os.environ.get("FGNN_TPU_TEST_REAL"):
