@@ -220,6 +220,11 @@ class SwitcherEngine(FactoredEngine):
     def _train_tail(self, pending_batches, base, losses, accs):
         if not pending_batches:
             return
+        if not self._tail_reserve_batches:
+            # calibration declined the full mesh (it measured slower per
+            # batch) — leftover partial groups stay on the T mesh too,
+            # otherwise every epoch still pays one wide-collective group
+            return super()._train_tail(pending_batches, base, losses, accs)
         W = self.num_full
         n_tail = len(pending_batches)
         state_full = jax.device_put(self.state, self.full_repl)
