@@ -279,13 +279,19 @@ class HostSamplingEngine:
                 from .data.synthetic import build_alias_tables
 
                 build_alias_tables(ds, seed=cfg.seed)
-            # per-vertex prefix -> per-edge weights -> GLOBAL cumsum
-            w = np.asarray(ds.prob_prefix_table, np.float64).copy()
-            for v in range(ds.num_node):
-                o, e = int(self.indptr[v]), int(self.indptr[v + 1])
-                if e - o > 1:
-                    w[o + 1:e] = np.diff(w[o:e])
-            self._gcum = np.cumsum(w)
+            # per-vertex prefix -> per-edge weights -> GLOBAL cumsum.
+            # Vectorized un-prefix (cumsum-diff trick, cf. cache/policy.py):
+            # diff is right everywhere except each vertex's FIRST edge,
+            # where the weight is the prefix value itself.
+            w = np.asarray(ds.prob_prefix_table, np.float64)
+            d = np.empty_like(w)
+            if w.size:
+                np.subtract(w[1:], w[:-1], out=d[1:])
+                d[0] = w[0]
+            deg = np.diff(self.indptr)
+            starts = self.indptr[:-1][deg > 0]
+            d[starts] = w[starts]
+            self._gcum = np.cumsum(d)
             dedup = st == SampleType.WEIGHTED_KHOP_HASH_DEDUP
 
             def _hop(rng, cur, f, hop, _d=dedup):
