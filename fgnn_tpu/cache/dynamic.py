@@ -92,8 +92,10 @@ class DynamicFeatureCache:
     """Host-side orchestration wrapper (engine-facing API parity with
     FeatureCache)."""
 
-    def __init__(self, feat_host: np.ndarray, cap: int):
+    def __init__(self, feat_host: np.ndarray, cap: int, mod: int = 0):
         self.feat_host = feat_host
+        # empty-feat modulo (CPUMockExtract analog); pass ds.feat_mod
+        self.mod = mod
         self.state = init_state(cap, feat_host.shape[1])
         self._split = jax.jit(split_hits)
         self._combine = jax.jit(combine_and_update)
@@ -106,6 +108,8 @@ class DynamicFeatureCache:
         )
         n_miss = int(num_miss)
         ids_np = np.asarray(miss_ids)
+        if self.mod:
+            ids_np = np.where(ids_np >= 0, ids_np % self.mod, ids_np)
         if native.available() and self.feat_host.dtype == np.float32:
             miss = native.gather_f32(self.feat_host, ids_np, n_real=n_miss)
         else:

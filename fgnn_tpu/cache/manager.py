@@ -78,6 +78,7 @@ class FeatureCache:
         num_node: int,
         dtype=None,                     # staging dtype (jnp.bfloat16 halves
                                         # host->device miss traffic)
+        empty_feat: bool = False,       # explicit Dataset.empty_feat flag
     ):
         t = Timer()
         self.num_node = num_node
@@ -93,9 +94,16 @@ class FeatureCache:
             table[cache_nodes] = np.arange(self.num_cache, dtype=np.int32)
         self.cache_table = jnp.asarray(table)
         # empty-feat fake table (smaller than the graph): index modulo,
-        # like GPUMockExtract (cuda_extraction.cu:51-72)
-        self._mod = (feat_host.shape[0]
-                     if feat_host.shape[0] < num_node else 0)
+        # like GPUMockExtract (cuda_extraction.cu:51-72). The mode is an
+        # EXPLICIT flag — a short feature matrix without it is corrupt
+        # data, not a mock (ADVICE r2).
+        if feat_host.shape[0] < num_node and not empty_feat:
+            raise ValueError(
+                f"feature matrix has {feat_host.shape[0]} rows for "
+                f"{num_node} nodes; pass empty_feat=True only for an "
+                "intentional mock table (SAMGRAPH_EMPTY_FEAT analog)"
+            )
+        self._mod = feat_host.shape[0] if empty_feat else 0
         # HBM-resident hot features (trainer-side blob, cache_manager_host.cc)
         if self.num_cache:
             rows = cache_nodes % self._mod if self._mod else cache_nodes

@@ -66,7 +66,8 @@ def load_dataset(
     ).view(np.int32)
 
     feat_path = os.path.join(d, constants.FEAT_FILE)
-    if os.path.exists(feat_path) and empty_feat == 0:
+    is_empty_feat = not (os.path.exists(feat_path) and empty_feat == 0)
+    if not is_empty_feat:
         feat = _mmap(feat_path, np.float32, (num_node, feat_dim))
     else:
         # empty-feat mode: small fake table indexed modulo (engine.cc:138-155)
@@ -123,6 +124,7 @@ def load_dataset(
             is not None
             else None
         ),
+        empty_feat=is_empty_feat and feat.shape[0] < num_node,
     )
     ds.validate()
     return ds

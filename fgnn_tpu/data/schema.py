@@ -45,9 +45,20 @@ class Dataset:
     out_degrees: Optional[np.ndarray] = None
     ranking_nodes: Optional[np.ndarray] = None       # cache rank (set by policy)
 
+    # empty-feat mode (SAMGRAPH_EMPTY_FEAT analog, engine.cc:138-155):
+    # ``feat`` is a small fake table indexed modulo its row count. Must be
+    # set EXPLICITLY — a feature matrix with fewer rows than the graph is
+    # otherwise a corrupt dataset, not a mock (validate() rejects it).
+    empty_feat: bool = False
+
     @property
     def feat_dim(self) -> int:
         return int(self.feat.shape[1])
+
+    @property
+    def feat_mod(self) -> int:
+        """Modulo for empty-feat mock gathers (0 = real features)."""
+        return int(self.feat.shape[0]) if self.empty_feat else 0
 
     def degrees(self) -> np.ndarray:
         """Out-degree from indptr (the sampling-relevant degree)."""
@@ -62,4 +73,11 @@ class Dataset:
         assert int(self.indptr[-1]) == self.num_edge
         if self.num_edge:
             assert int(self.indices.max()) < self.num_node
-        assert self.feat.shape[0] >= self.num_node or self.feat.shape[0] > 0
+        if self.feat.shape[0] < self.num_node and not self.empty_feat:
+            raise ValueError(
+                f"feature matrix has {self.feat.shape[0]} rows for a "
+                f"{self.num_node}-node graph — a truncated/partial feature "
+                "file. Set Dataset.empty_feat=True only for an intentional "
+                "mock table (SAMGRAPH_EMPTY_FEAT analog)."
+            )
+        assert self.feat.shape[0] > 0

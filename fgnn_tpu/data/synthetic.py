@@ -122,6 +122,7 @@ def make_synthetic_dataset(
         train_set=ids[:n_train].copy(),
         test_set=ids[n_train : n_train + n_test].copy(),
         valid_set=ids[n_train + n_test : n_train + n_test + n_valid].copy(),
+        empty_feat=bool(empty_feat_rows) and feat.shape[0] < num_node,
     )
     ds.validate()
     return ds

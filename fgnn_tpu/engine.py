@@ -170,6 +170,7 @@ class OneChipEngine:
                 np.asarray(ds.feat) if not hasattr(ds.feat, "filename")
                 else ds.feat,
                 self.plan.final_input_cap,
+                mod=ds.feat_mod,
             )
         elif cfg.use_cache and not self.feat_on_device:
             _sg = jax.jit(lambda g, k, s, n: self._sample(g, k, s, n))
@@ -201,6 +202,7 @@ class OneChipEngine:
                 ranking, cfg.cache_percentage, ds.num_node,
                 dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                        else None),
+                empty_feat=ds.empty_feat,
             )
 
         # --- opt-in runtime sanity checks (SAMGRAPH_SANITY_CHECK analog) --
@@ -285,7 +287,8 @@ class OneChipEngine:
             feats0 = device_gather(self.feat_dev, batch0.input_nodes)
         else:
             feats0 = jnp.asarray(
-                host_gather(self.ds.feat, np.asarray(batch0.input_nodes))
+                host_gather(self.ds.feat, np.asarray(batch0.input_nodes),
+                            mod=self.ds.feat_mod)
             )
         self.state, self.tx = create_train_state(
             self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
@@ -311,12 +314,9 @@ class OneChipEngine:
         self.train_jit = lambda state, key, batch, feats: self._train_g(
             state, self.label_dev, key, batch, feats
         )
-        # empty-feat mode (fake table smaller than the graph): modulo
+        # empty-feat mode (explicit Dataset.empty_feat flag): modulo
         # indexing like GPUMockExtract (cuda_extraction.cu:51-72)
-        feat_gather = (
-            mock_gather if self.ds.feat.shape[0] < self.ds.num_node
-            else device_gather
-        )
+        feat_gather = mock_gather if self.ds.empty_feat else device_gather
         self._gather_g = jax.jit(feat_gather)
 
         if self.feat_on_device:
@@ -681,7 +681,8 @@ class OneChipEngine:
                     )
                 else:
                     th = Timer()
-                    feats_h = host_gather(self.ds.feat, in_nodes)
+                    feats_h = host_gather(self.ds.feat, in_nodes,
+                                          mod=self.ds.feat_mod)
                     if cfg.profile_level >= 2:
                         prof.log_step(skey, "L2_extract_time", th.passed())
                     th.reset()
@@ -864,7 +865,8 @@ class OneChipEngine:
                 feats = device_gather(self.feat_dev, batch.input_nodes)
             else:
                 feats = jnp.asarray(
-                    host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+                    host_gather(self.ds.feat, np.asarray(batch.input_nodes),
+                                mod=self.ds.feat_mod)
                 )
             labels = label_gather(self.label_dev, batch.output_nodes)
             accs.append(float(self.eval_step(self.state.params, batch, feats, labels)))

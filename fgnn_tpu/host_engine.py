@@ -321,7 +321,8 @@ class HostSamplingEngine:
 
         seeds0, n0, _ = next(self.shuffler.batches(0))
         batch0 = self._sample(self.rng, seeds0, n0)
-        feats0 = jnp.asarray(host_gather(ds.feat, np.asarray(batch0.input_nodes)))
+        feats0 = jnp.asarray(host_gather(ds.feat, np.asarray(batch0.input_nodes),
+                                         mod=ds.feat_mod))
         self.state, self.tx = create_train_state(
             self.model, jax.random.key(cfg.seed + 1), batch0, feats0,
             self.dst_caps, lr=cfg.lr, weight_decay=cfg.weight_decay,
@@ -350,7 +351,7 @@ class HostSamplingEngine:
                 ranking = build_ranking(ds, cfg.cache_policy, seed=cfg.seed)
             self.cache = FeatureCache(
                 np.asarray(ds.feat), ranking, cfg.cache_percentage,
-                ds.num_node,
+                ds.num_node, empty_feat=ds.empty_feat,
             )
         log.info("HostSamplingEngine (arch0): %d steps/epoch, cache=%s",
                  self.shuffler.num_step,
@@ -408,7 +409,8 @@ class HostSamplingEngine:
                 )
             else:
                 feats = jnp.asarray(
-                    host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+                    host_gather(self.ds.feat, np.asarray(batch.input_nodes),
+                                mod=self.ds.feat_mod)
                 )
             if cfg.profile_level >= 2:
                 force_done(feats)

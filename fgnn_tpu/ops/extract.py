@@ -31,14 +31,19 @@ def mock_gather(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((ids >= 0)[:, None], out, 0)
 
 
-def host_gather(feat_mmap: np.ndarray, ids: np.ndarray) -> np.ndarray:
+def host_gather(feat_mmap: np.ndarray, ids: np.ndarray,
+                mod: int = 0) -> np.ndarray:
     """Host-side gather from the (mmap-backed) feature matrix.
 
     Uses the native OpenMP gather (fgnn_tpu.native, cpu_extraction.cc
-    analog — ~5x NumPy) when built, NumPy otherwise.
+    analog — ~5x NumPy) when built, NumPy otherwise. ``mod`` > 0 applies
+    empty-feat modulo indexing (CPUMockExtract analog) — pass
+    ``ds.feat_mod`` so mock datasets don't IndexError.
     """
     from .. import native
 
+    if mod:
+        ids = np.where(ids >= 0, ids % mod, ids)
     if native.available() and feat_mmap.dtype == np.float32:
         return native.gather_f32(feat_mmap, ids)
     safe = np.maximum(ids, 0)

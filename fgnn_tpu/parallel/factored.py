@@ -35,9 +35,9 @@ from ..ops.extract import device_gather, label_gather, mock_gather
 
 
 def _pick_feat_gather(ds):
-    """Modulo indexing when the feat table is an empty-feat fake smaller
-    than the graph (GPUMockExtract, cuda_extraction.cu:51-72)."""
-    return mock_gather if ds.feat.shape[0] < ds.num_node else device_gather
+    """Modulo indexing when the dataset declares empty-feat mock mode
+    (GPUMockExtract, cuda_extraction.cu:51-72)."""
+    return mock_gather if ds.empty_feat else device_gather
 from ..ops.padding import make_plan
 from ..ops.random_walk import random_walk_topk
 from ..ops.reference_impl import calibrate_caps
@@ -195,6 +195,7 @@ class _EngineBase:
             self.ds.feat, ranking, cfg.cache_percentage, self.ds.num_node,
             dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
                    else None),
+            empty_feat=self.ds.empty_feat,
         )
 
 

@@ -187,7 +187,8 @@ class _Session:
             feats = eng.cache.combine(index, jnp.asarray(miss))
         else:
             feats = jnp.asarray(
-                host_gather(self.ds.feat, np.asarray(batch.input_nodes))
+                host_gather(self.ds.feat, np.asarray(batch.input_nodes),
+                            mod=self.ds.feat_mod)
             )
         labels = label_gather(eng.label_dev, batch.output_nodes)
         ct = t_conv.passed()

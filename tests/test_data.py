@@ -94,3 +94,37 @@ def test_synthetic_pref_correlates_degree_with_access():
     # with pref=0.5, half the edge mass rides the degree ranking
     assert degree_hit(ds1) > 0.45
     ds1.validate()
+
+
+def test_empty_feat_is_explicit():
+    """A short feature matrix is corrupt data unless Dataset.empty_feat is
+    set (ADVICE r2: the reference gates GPUMockExtract behind an explicit
+    SAMGRAPH_EMPTY_FEAT env, engine.cc:138-155)."""
+    import dataclasses
+
+    import pytest
+
+    from fgnn_tpu.cache.manager import FeatureCache
+    from fgnn_tpu.data import make_synthetic_dataset
+    from fgnn_tpu.ops.extract import host_gather
+
+    ds = make_synthetic_dataset(num_node=5000, avg_degree=8, feat_dim=8,
+                                num_class=4, seed=0, empty_feat_rows=256)
+    assert ds.empty_feat and ds.feat_mod == 256
+
+    # truncated-without-flag is rejected at validate and at cache build
+    bad = dataclasses.replace(ds, empty_feat=False)
+    with pytest.raises(ValueError, match="truncated|rows"):
+        bad.validate()
+    rank = np.arange(ds.num_node, dtype=np.int32)
+    with pytest.raises(ValueError, match="empty_feat"):
+        FeatureCache(ds.feat, rank, 0.1, ds.num_node)
+
+    # flagged mock: cache build + host gather both apply modulo (no
+    # IndexError, rows match feat[id % mod])
+    fc = FeatureCache(ds.feat, rank, 0.1, ds.num_node, empty_feat=True)
+    assert fc._mod == 256
+    ids = np.array([0, 300, 4999, -1], np.int32)
+    out = host_gather(ds.feat, ids, mod=ds.feat_mod)
+    np.testing.assert_allclose(out[1], ds.feat[300 % 256])
+    np.testing.assert_allclose(out[3], 0)

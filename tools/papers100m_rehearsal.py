@@ -94,6 +94,7 @@ def main():
             indptr=indptr, indices=indices, feat=feat, label=label,
             train_set=ids[:n_train], test_set=ids[n_train:n_train + 1024],
             valid_set=ids[n_train + 1024:],
+            empty_feat=feat.shape[0] < args.num_node,
         )
         print(f"[gen] loaded {d} ({ds.num_edge} edges) "
               f"in {time.perf_counter() - t0:.0f}s", flush=True)
