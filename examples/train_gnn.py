@@ -102,7 +102,7 @@ def main():
     # stage columns: per-epoch seconds (reference table5 convention);
     # non-zero when --profile-level >= 2 wrote epoch stage items, else
     # approximated from per-step L1 items where those were recorded
-    num_step = prof._num_step
+    num_step = prof.num_step
     for col, epoch_item, l1_item in (
         ("sample_time", "epoch_sample_time", "L1_sample_time"),
         ("copy_time", "epoch_copy_time", "L1_copy_time"),
@@ -119,7 +119,7 @@ def main():
     for item in STEP_ITEMS:
         if item.startswith("L1"):
             continue
-        if prof._step.get(item):
+        if prof.has_step_item(item):
             log_test_result(item, f"{prof.step_average(item):.6f}")
     fb = prof.epoch_average("epoch_feature_bytes")
     mb = prof.epoch_average("epoch_miss_bytes")
@@ -130,9 +130,9 @@ def main():
         log_test_result("miss_mb", f"{mb / 2**20:.2f}")
     if prof.log_node_access:
         prof.report_node_access("node", ds.num_node)
-    log_test_result("init:presample", f"{prof._init.get('init_presample', 0.0):.4f}")
-    log_test_result("init:load_dataset", f"{prof._init.get('init_load_dataset', 0.0):.4f}")
-    log_test_result("init:build_cache", f"{prof._init.get('init_build_cache', 0.0):.4f}")
+    log_test_result("init:presample", f"{prof.get_init_value('init_presample'):.4f}")
+    log_test_result("init:load_dataset", f"{prof.get_init_value('init_load_dataset'):.4f}")
+    log_test_result("init:build_cache", f"{prof.get_init_value('init_build_cache'):.4f}")
 
 
 if __name__ == "__main__":

@@ -44,6 +44,49 @@ from .factored import FactoredEngine
 log = get_logger(__name__)
 
 
+def tail_reserve_policy(
+    t_wave: float,
+    num_waves: int,
+    g_t: float,
+    g_full: float,
+    T: int,
+    W: int,
+    num_step: int,
+    force: bool = False,
+) -> int:
+    """Pure scheduling math for the switcher tail (unit-testable).
+
+    Given calibration timings — one sample wave (``t_wave`` x
+    ``num_waves`` per epoch), one T-wide train group (``g_t``), one
+    W-wide full-mesh train group (``g_full``) — return how many of the
+    epoch's ``num_step`` batches to reserve for the full (T+S)-chip tail.
+
+    The reserve is the training backlog the T-mesh cannot clear before
+    the samplers go idle: ``K = total_groups - sample_total/g_t`` groups,
+    i.e. ``K*T`` batches — engaged only when the full mesh actually pays
+    per batch (``g_full/W <= g_t/T``). When training keeps pace (K <= 0)
+    a minimal one-group tail still runs on the full mesh if a W-wide
+    group is no slower than pushing the same batches through the T-mesh.
+    """
+    G = -(-num_step // T)                          # total T-groups
+    sample_total = t_wave * num_waves
+    k = G - int(sample_total / max(g_t, 1e-9))     # backlog groups
+    k = max(0, min(k, G))
+    per_t, per_full = g_t / T, g_full / W          # per-batch costs
+
+    min_tail = min(W, num_step)
+    # cost of one full-width group vs pushing those batches through the
+    # T-mesh instead
+    min_tail_pays = g_full <= (-(-min_tail // T)) * g_t * 1.05
+    backlog_pays = per_full <= per_t * 1.05
+    reserve = 0
+    if backlog_pays:
+        reserve = k * T
+    if reserve == 0 and (min_tail_pays or force):
+        reserve = min_tail
+    return min(reserve, num_step)
+
+
 class SwitcherEngine(FactoredEngine):
     """arch5 with ``have_switcher``: sampler chips join training once their
     sampling work for the epoch is done."""
@@ -118,9 +161,11 @@ class SwitcherEngine(FactoredEngine):
             return w, ix
 
         one_wave()                      # compile
-        t = Timer()
-        wave, idx = one_wave()
-        t_wave = t.passed()
+        t_wave = float("inf")
+        for _ in range(2):              # min-of-reps (one noisy timing
+            t = Timer()                 # mis-reserves every epoch)
+            wave, idx = one_wave()
+            t_wave = min(t_wave, t.passed())
 
         wave_t = jax.device_put(wave, self.roles.trainer_replicated)
         idx_t = (jax.device_put(idx, self.roles.trainer_replicated)
@@ -137,12 +182,16 @@ class SwitcherEngine(FactoredEngine):
             out = self._run_group(probe, group, wave_fn, shard, width,
                                   jax.random.fold_in(base, 0xBEEF))
             force_done(out[1])
-            tt = Timer()
-            probe = jax.tree.map(jnp.copy, self.state)
-            out = self._run_group(probe, group, wave_fn, shard, width,
-                                  jax.random.fold_in(base, 0xBEEF))
-            force_done(out[1])
-            return tt.passed()
+            best = float("inf")
+            for _ in range(2):          # min-of-reps (ADVICE r2): a GC
+                tt = Timer()            # pause in ONE probe would size
+                probe = jax.tree.map(   # the tail for every epoch
+                    jnp.copy, self.state)
+                out = self._run_group(probe, group, wave_fn, shard, width,
+                                      jax.random.fold_in(base, 0xBEEF))
+                force_done(out[1])
+                best = min(best, tt.passed())
+            return best
 
         g_t = time_group(batches[:T], self.train_wave,
                          self.roles.trainer_sharding, T)
@@ -154,11 +203,6 @@ class SwitcherEngine(FactoredEngine):
             self._in_tail = False
 
         num_waves = max(sh.num_local_step for sh in self.shufflers)
-        G = -(-self.num_step // T)                     # total T-groups
-        sample_total = t_wave * num_waves
-        k = G - int(sample_total / max(g_t, 1e-9))     # backlog groups
-        k = max(0, min(k, G))
-        per_t, per_full = g_t / T, g_full / W          # per-batch costs
 
         # Engage only when the measured full mesh actually pays. On real
         # chips the sampler chips are idle by tail time, so a W-wide group
@@ -173,24 +217,19 @@ class SwitcherEngine(FactoredEngine):
 
         force = _os.environ.get("FGNN_TPU_SWITCHER_FORCE", "") not in (
             "", "0", "false")
-        min_tail = min(W, self.num_step)
-        # cost of one full-width group vs pushing those batches through
-        # the T-mesh instead
-        min_tail_pays = g_full <= (-(-min_tail // T)) * g_t * 1.05
-        backlog_pays = per_full <= per_t * 1.05
-        reserve = 0
-        if backlog_pays:
-            reserve = k * T
-        if reserve == 0 and (min_tail_pays or force):
-            reserve = min_tail
+        reserve = tail_reserve_policy(
+            t_wave, num_waves, g_t, g_full, T, W, self.num_step,
+            force=force,
+        )
         log.info(
             "switcher calibration: wave %.4fs x%d, T-group %.4fs x%d, "
             "full-group %.4fs -> reserve %d of %d batches for the tail%s",
-            t_wave, num_waves, g_t, G, g_full, reserve, self.num_step,
+            t_wave, num_waves, g_t, -(-self.num_step // T), g_full,
+            reserve, self.num_step,
             " (declined: full mesh measured slower per batch)"
             if reserve == 0 else "",
         )
-        return min(reserve, self.num_step)
+        return reserve
 
     def _main_loop_may_train(self, consumed: int) -> bool:
         if self._tail_reserve_batches is None:

@@ -104,8 +104,19 @@ class Profiler:
     def set_num_step(self, num_step: int) -> None:
         self._num_step = max(1, num_step)
 
+    @property
+    def num_step(self) -> int:
+        return self._num_step
+
     def step_key(self, epoch: int, step: int) -> int:
         return epoch * self._num_step + step
+
+    # -- public readers (keep examples off the private dicts) -------------
+    def has_step_item(self, item: str) -> bool:
+        return bool(self._step.get(item))
+
+    def get_init_value(self, item: str) -> float:
+        return self._init.get(item, 0.0)
 
     # -- writers (LogStep / LogStepAdd / LogEpochAdd analogs) -------------
     def _lvl(self, item: str) -> int:

@@ -1,0 +1,78 @@
+"""Unit tests for the switcher's tail-reserve scheduling math
+(VERDICT r2: pin the *engage* path's policy with mocked timings so it is
+testable independent of the environment).
+
+Reference: example/samgraph/balance_switcher/train_pinsage.py — idle
+sampler GPUs absorb the epoch's training tail; our design reserves that
+tail up front from calibration timings (switcher.py module docstring).
+"""
+import numpy as np
+
+from fgnn_tpu.parallel.switcher import tail_reserve_policy
+
+
+def test_engage_reserves_backlog_times_T():
+    """When the full mesh costs the same per batch (g_full/W == g_t/T),
+    reserve == backlog_groups * T."""
+    T, W = 2, 8                      # 2 trainers, 6 switchers join
+    num_step = 40                    # -> G = 20 T-groups
+    g_t = 0.10                       # T-group time
+    g_full = g_t * W / T             # same per-batch cost on the full mesh
+    t_wave, num_waves = 0.10, 10     # sampling busy for 1.0s = 10 groups
+    # backlog K = G - sample_total/g_t = 20 - 10 = 10 groups -> 20 batches
+    r = tail_reserve_policy(t_wave, num_waves, g_t, g_full, T, W, num_step)
+    assert r == 10 * T
+
+
+def test_engage_caps_at_num_step():
+    # sampling finishes instantly -> the whole epoch is backlog
+    r = tail_reserve_policy(0.0, 1, 0.1, 0.1 * 4, 1, 4, num_step=7)
+    assert r == 7
+
+
+def test_decline_when_full_mesh_slower():
+    """g_full >> g_t per batch (oversubscribed mesh / slow collectives):
+    the policy must decline entirely — a slower tail is a regression."""
+    T, W = 2, 8
+    g_t = 0.10
+    g_full = g_t * (W / T) * 3.0     # 3x the per-batch cost
+    r = tail_reserve_policy(0.10, 10, g_t, g_full, T, W, num_step=40)
+    assert r == 0
+    # ... unless forced (mechanics demos)
+    r = tail_reserve_policy(0.10, 10, g_t, g_full, T, W, num_step=40,
+                            force=True)
+    assert r == min(W, 40)
+
+
+def test_minimal_tail_when_training_keeps_pace():
+    """K <= 0 (trainers outpace samplers): still take one W-wide group
+    when it is no slower than pushing those batches through the T-mesh —
+    sampler chips are idle by then, the tail is free capacity."""
+    T, W = 2, 8
+    g_t = 0.10
+    g_full = g_t * W / T * 0.9       # full mesh slightly better per batch
+    # sampling runs the WHOLE epoch: sample_total = 10s >> G*g_t = 2s
+    r = tail_reserve_policy(1.0, 10, g_t, g_full, T, W, num_step=40)
+    # backlog is 0; min tail engages iff g_full <= ceil(W/T)*g_t*1.05
+    expect = W if g_full <= (-(-W // T)) * g_t * 1.05 else 0
+    assert r == expect == W
+
+
+def test_reserve_monotone_in_sampling_time():
+    """More sampling time -> smaller backlog -> smaller (or equal)
+    reserve, until the backlog underruns one full group and the policy
+    switches to the constant min-tail (one W-wide group of otherwise-idle
+    chips). Guards sign errors in the backlog formula."""
+    T, W = 2, 8
+    g_t, g_full = 0.10, 0.10 * W / T
+    prev = None
+    for waves in range(0, 22, 2):
+        r = tail_reserve_policy(0.10, waves, g_t, g_full, T, W,
+                                num_step=40)
+        if prev is not None and prev > W:
+            assert r <= prev
+        if r <= W:
+            # once in min-tail territory the reserve is W or the small
+            # backlog, never zero while the full mesh pays
+            assert r in (W,) or 0 < r <= W
+        prev = r
