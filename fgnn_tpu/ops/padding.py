@@ -63,7 +63,14 @@ def make_plan(
 
     ``unique_caps`` optionally overrides the worst-case per-hop unique
     caps with measured values (already in sampling order).
+
+    ``FGNN_TPU_ALLOC_SCALE`` overrides ``scale`` (e.g. the multichip
+    dryrun sets a generous scale so its correctness signal is never
+    computed on clipped neighborhoods).
     """
+    import os
+
+    scale = float(os.environ.get("FGNN_TPU_ALLOC_SCALE", scale))
     fan = tuple(reversed([int(f) for f in fanouts]))
     n_in = []
     n_edge = []

@@ -16,4 +16,7 @@ def __getattr__(name):
     if name == "AsyncFactoredEngine":
         from .async_dp import AsyncFactoredEngine
         return AsyncFactoredEngine
+    if name == "MultihostFactoredEngine":
+        from .factored_multihost import MultihostFactoredEngine
+        return MultihostFactoredEngine
     raise AttributeError(name)
