@@ -31,6 +31,9 @@ def add_common_arguments(p: argparse.ArgumentParser) -> None:
     p.add_argument("--synthetic-nodes", type=int, default=100_000)
     p.add_argument("--synthetic-skew", type=float, default=2.0,
                    help="neighbor access skew (6 ~ papers100M-like)")
+    p.add_argument("--synthetic-train-frac", type=float, default=0.1,
+                   help="train split fraction of the synthetic graph "
+                        "(sets steps/epoch)")
     p.add_argument("--synthetic-pref", type=float, default=0.0,
                    help="fraction of edges with preferential attachment "
                         "(hot targets = high out-degree nodes); 0.5 makes "
@@ -131,6 +134,7 @@ def load_app_dataset(args):
     ds = make_synthetic_dataset(
         num_node=args.synthetic_nodes, avg_degree=15, feat_dim=128,
         num_class=64, seed=args.seed,
+        train_frac=getattr(args, "synthetic_train_frac", 0.1),
         neighbor_skew=getattr(args, "synthetic_skew", 2.0),
         neighbor_pref=getattr(args, "synthetic_pref", 0.0),
     )

@@ -24,13 +24,17 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--synthetic-nodes", type=int, default=1_000_000)
     p.add_argument("--percentages", nargs="+", type=float,
                    default=[0.01, 0.05, 0.1, 0.2])
     p.add_argument("--policies", nargs="+",
                    default=["random", "degree", "pre_sample"])
     p.add_argument("--neighbor-skew", type=float, default=6.0,
                help="access skew (6 ~ papers100M-like hot set)")
+    p.add_argument("--neighbor-pref", type=float, default=0.5,
+               help="fraction of edge mass riding the out-degree ranking "
+                    "(0.5 = real-graph regime where cache_by_degree sits "
+                    "between random and presample — table6/fig12 config)")
     p.add_argument("--cpu-mesh", action="store_true")
     args = p.parse_args()
 
@@ -53,7 +57,8 @@ def main():
 
     ds = make_synthetic_dataset(num_node=args.synthetic_nodes, avg_degree=15,
                                 feat_dim=32, num_class=16, seed=0,
-                                neighbor_skew=args.neighbor_skew)
+                                neighbor_skew=args.neighbor_skew,
+                                neighbor_pref=args.neighbor_pref)
     cfg = RunConfig(model="graphsage", fanout=(5, 10, 15), batch_size=8000,
                     num_hidden=32, sample_type=SampleType.KHOP2)
     eng = OneChipEngine(cfg, ds)
@@ -96,7 +101,14 @@ def main():
 
     with open(os.path.join(HERE, "fig10.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print("wrote", os.path.join(HERE, "fig10.json"))
+    # gnuplot-style table like the other exp dirs (policy x percentage)
+    with open(os.path.join(HERE, "fig10.dat"), "w") as f:
+        pcts = args.percentages
+        f.write("policy\t" + "\t".join(f"{p:.0%}" for p in pcts) + "\n")
+        for pol, row in results.items():
+            f.write(pol + "\t"
+                    + "\t".join(f"{row[p]:.4f}" for p in pcts) + "\n")
+    print("wrote", os.path.join(HERE, "fig10.dat"))
 
 
 if __name__ == "__main__":

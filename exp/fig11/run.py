@@ -18,11 +18,14 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--synthetic-nodes", type=int, default=100_000)
+    p.add_argument("--synthetic-nodes", type=int, default=1_000_000)
     p.add_argument("--cache-percentage", type=float, default=0.1)
     p.add_argument("--num-epoch", type=int, default=3)
     p.add_argument("--neighbor-skew", type=float, default=6.0,
                help="access skew (6 ~ papers100M-like hot set)")
+    p.add_argument("--neighbor-pref", type=float, default=0.5,
+               help="table6/fig12 regime: degree between random and "
+                    "presample")
     p.add_argument("--cpu-mesh", action="store_true")
     args = p.parse_args()
 
@@ -45,6 +48,7 @@ def main():
     ds = make_synthetic_dataset(
         num_node=args.synthetic_nodes, avg_degree=15, feat_dim=64,
         num_class=32, seed=0, neighbor_skew=args.neighbor_skew,
+        neighbor_pref=args.neighbor_pref,
     )
     cfg = RunConfig(model="graphsage", fanout=(10, 10), batch_size=1000,
                     sample_type=SampleType.KHOP0, dropout=0.0)
@@ -94,7 +98,12 @@ def main():
         print(f"test_result:init_time:{r['policy']}={r['init_time']:.4f}")
     with open(os.path.join(HERE, "fig11.json"), "w") as f:
         json.dump(results, f, indent=2)
-    print(f"[exp] wrote {os.path.join(HERE, 'fig11.json')}")
+    with open(os.path.join(HERE, "fig11.dat"), "w") as f:
+        f.write("policy\thit_rate\tinit_time\n")
+        for r in results:
+            f.write(f"{r['policy']}\t{r['hit_rate']:.4f}\t"
+                    f"{r['init_time']:.4f}\n")
+    print(f"[exp] wrote {os.path.join(HERE, 'fig11.dat')}")
 
 
 if __name__ == "__main__":

@@ -23,8 +23,12 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic-nodes", type=int, default=100_000)
-    p.add_argument("--num-epoch", type=int, default=3)
-    p.add_argument("--batch-size", type=int, default=4000)
+    # >= 8 epochs + epoch_time:min (run-to-run noise on the oversubscribed
+    # CPU mesh is +/-50%, VERDICT r2 item 3) and enough steps that T-wide
+    # groups actually form (25 steps at batch 2000 / train-frac 0.5)
+    p.add_argument("--num-epoch", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=2000)
+    p.add_argument("--train-frac", type=float, default=0.5)
     p.add_argument("--num-sample-worker", type=int, default=2)
     p.add_argument("--num-train-worker", type=int, default=6)
     p.add_argument("--switch-cache-percentage", type=float, default=0.1)
@@ -32,17 +36,19 @@ def main():
     args = p.parse_args()
 
     n = args.num_sample_worker + args.num_train_worker
-    env = {}
+    # generous caps: a clipped batch would corrupt the comparison
+    env = {"FGNN_TPU_ALLOC_SCALE": "2.5"}
     if args.cpu_mesh:
-        env = {
+        env.update({
             "JAX_PLATFORMS": "cpu",
             "XLA_FLAGS": f"--xla_cpu_collective_call_terminate_timeout_seconds=600 --xla_force_host_platform_device_count={n}",
-        }
+        })
     base = [
         "examples/train_gnn.py", "--model", "pinsage",
         "--sample-type", "random_walk",
         "--dataset", "synthetic",
         "--synthetic-nodes", str(args.synthetic_nodes),
+        "--synthetic-train-frac", str(args.train_frac),
         "--num-epoch", str(args.num_epoch),
         "--batch-size", str(args.batch_size),
         "--arch", "arch5",
@@ -66,7 +72,8 @@ def main():
         # level-2 pass (stage timers sync per stage — table5 convention)
         r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
                     env={**env, **xenv})
-        rp = run_app(base + extra + ["--profile-level", "2"],
+        rp = run_app(base + extra + ["--profile-level", "2",
+                                     "--num-epoch", "3"],
                      os.path.join(HERE, "run-logs"), tag + "_stages",
                      env={**env, **xenv})
         for k in ("sample_time", "copy_time", "extract_time", "train_time"):

@@ -73,28 +73,84 @@ def from_coo(
     return ds
 
 
+#: split-directory name inside each OGB dataset (ogb master.csv
+#: ``split`` column; datagen/products.py downloads the same layout)
+OGB_SPLIT_DIR = {
+    "ogbn-products": "sales_ranking",
+    "ogbn-papers100M": "time",
+    "ogbn-arxiv": "time",
+}
+
+
+def read_ogb_raw(name: str, ogb_root: str):
+    """Read OGB's extracted raw csv.gz layout directly (no ``ogb``
+    package needed — it is not installed in this environment and the
+    download mirrors are unreachable; documented attempt 2026-08-18:
+    DNS resolution fails, zero egress).
+
+    Layout inside e.g. products.zip (what NodePropPredDataset's
+    library-agnostic loader reads):
+
+      <root>/<dir>/raw/edge.csv.gz            src,dst per line
+      <root>/<dir>/raw/num-node-list.csv.gz
+      <root>/<dir>/raw/node-feat.csv.gz       one row of floats per node
+      <root>/<dir>/raw/node-label.csv.gz      one int per node
+      <root>/<dir>/split/<split>/train.csv.gz / valid.csv.gz / test.csv.gz
+
+    Returns (edge_index [2,E], node_feat [N,D] f32, labels [N], split dict).
+    """
+    d = name.replace("-", "_")
+    base = os.path.join(ogb_root, d)
+    if not os.path.isdir(base):
+        base = os.path.join(ogb_root, name)  # both layouts seen in the wild
+    raw = os.path.join(base, "raw")
+
+    def csv(path, dtype):
+        return np.loadtxt(path, delimiter=",", dtype=dtype, ndmin=2)
+
+    num_node = int(csv(os.path.join(raw, "num-node-list.csv.gz"),
+                       np.int64)[0, 0])
+    edges = csv(os.path.join(raw, "edge.csv.gz"), np.int64)
+    feat = csv(os.path.join(raw, "node-feat.csv.gz"), np.float32)
+    label = csv(os.path.join(raw, "node-label.csv.gz"), np.float64)
+    assert feat.shape[0] == num_node, (feat.shape, num_node)
+    split_dir = os.path.join(base, "split", OGB_SPLIT_DIR.get(name, "time"))
+    split = {
+        k: csv(os.path.join(split_dir, f"{k}.csv.gz"), np.int64).reshape(-1)
+        for k in ("train", "valid", "test")
+    }
+    return edges.T, feat, label.reshape(-1), split
+
+
 def convert_ogb(name: str, ogb_root: str, out_root: str,
                 add_reverse: bool = True) -> Optional[str]:
     """OGB -> binary layout (datagen/products.py / papers100M.py analog).
 
-    Requires the ``ogb`` package plus pre-downloaded data under
-    ``ogb_root`` (no egress in this environment).
+    Uses the ``ogb`` package when importable, else reads the extracted
+    raw csv.gz layout directly (read_ogb_raw) — data must already be
+    under ``ogb_root`` (no egress in this environment; the download
+    attempt fails at DNS).
     """
     try:
         from ogb.nodeproppred import NodePropPredDataset
+
+        data = NodePropPredDataset(name=name, root=ogb_root)
+        split = data.get_idx_split()
+        graph, labels = data[0]
+        edge_index, node_feat = graph["edge_index"], graph["node_feat"]
+        labels = labels.reshape(-1)
     except ImportError:
-        log.warning("ogb package unavailable; convert_ogb skipped")
-        return None
-    data = NodePropPredDataset(name=name, root=ogb_root)
-    split = data.get_idx_split()
-    graph, labels = data[0]
-    src, dst = graph["edge_index"]
+        log.info("ogb package unavailable; reading raw csv.gz layout")
+        edge_index, node_feat, labels, split = read_ogb_raw(name, ogb_root)
+    src, dst = edge_index
     if add_reverse:  # reference converts to undirected (products.py)
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-    short = {"ogbn-products": "products", "ogbn-papers100M": "papers100M"}[name]
+    short = {"ogbn-products": "products",
+             "ogbn-papers100M": "papers100M"}.get(name, name)
     ds = from_coo(
-        short, src, dst, graph["node_feat"],
-        np.nan_to_num(labels.reshape(-1), nan=-1).astype(np.int64),
+        short, src, dst, node_feat,
+        np.nan_to_num(np.asarray(labels, np.float64),
+                      nan=-1).astype(np.int64),
         split["train"], split["test"], split["valid"],
     )
     path = write_dataset(ds, out_root)

@@ -78,7 +78,11 @@ def test_convert_ogb_roundtrip(fake_ogb, tmp_path):
     assert all((d, s) in adj for (s, d) in adj)
 
 
-def test_convert_ogb_without_package_returns_none(monkeypatch, tmp_path):
+def test_convert_ogb_without_package_reads_raw_layout(monkeypatch, tmp_path):
+    """Without the ogb package, convert_ogb falls back to the raw csv.gz
+    reader (read_ogb_raw); with no raw files present it fails loudly
+    instead of silently returning None (r3: the raw path is now real —
+    tests/test_ogb_convert_real.py exercises it on a vendored slice)."""
     import builtins
 
     real_import = builtins.__import__
@@ -93,4 +97,5 @@ def test_convert_ogb_without_package_returns_none(monkeypatch, tmp_path):
     monkeypatch.delitem(sys.modules, "ogb.nodeproppred", raising=False)
     from fgnn_tpu.data.datagen import convert_ogb
 
-    assert convert_ogb("ogbn-products", str(tmp_path), str(tmp_path)) is None
+    with pytest.raises(OSError):
+        convert_ogb("ogbn-products", str(tmp_path), str(tmp_path))
