@@ -207,19 +207,31 @@ def np_multi_layer_sample(
             nbr, wgt = hop_fn(rng, cur[:S], f, hop)
         nbr_flat = nbr.reshape(-1)
 
-        # dedup: seeds-first + new nodes ascending (hashtable invariant)
-        new = np.unique(nbr_flat[nbr_flat >= 0])
-        new = new[~np.isin(new, cur[cur >= 0])]
-        n_new = min(len(new), cap - S)
-        unique = np.full(cap, -1, dtype=np.int32)
-        unique[:S] = cur
-        unique[S : S + n_new] = new[:n_new]
+        # dedup: seeds-first + new nodes ascending (hashtable invariant).
+        # Native CPUHashTable2-style path when built (O(batch) memory);
+        # NumPy dense-table fallback otherwise (O(num_node)/hop — fine at
+        # test scale, prohibitive at papers100M).
+        from . import native
 
-        # remap via dense table
-        table = np.full(int(max(indptr.shape[0], 1)), -1, dtype=np.int32)
-        pos = np.nonzero(unique >= 0)[0]
-        table[unique[pos]] = pos
-        src_local = np.where(nbr_flat >= 0, table[np.maximum(nbr_flat, 0)], -1)
+        nat = native.dedup_remap(cur[:S], nbr_flat, cap)
+        if nat is not None:
+            unique, n_new, src_local = nat
+        else:
+            new = np.unique(nbr_flat[nbr_flat >= 0])
+            new = new[~np.isin(new, cur[cur >= 0])]
+            n_new = min(len(new), cap - S)
+            unique = np.full(cap, -1, dtype=np.int32)
+            unique[:S] = cur
+            unique[S : S + n_new] = new[:n_new]
+
+            # remap via dense table
+            table = np.full(int(max(indptr.shape[0], 1)), -1,
+                            dtype=np.int32)
+            pos = np.nonzero(unique >= 0)[0]
+            table[unique[pos]] = pos
+            src_local = np.where(
+                nbr_flat >= 0, table[np.maximum(nbr_flat, 0)], -1
+            )
         dst_local = np.repeat(np.arange(S, dtype=np.int32), f)
         mask = (src_local >= 0) & (nbr_flat >= 0)
         blocks_rev.append(

@@ -62,6 +62,10 @@ def _try_load() -> Optional[ctypes.CDLL]:
             i64p, i32p, i32p, i64, i64, i64, ctypes.c_float, i64,
             ctypes.c_uint64, i32p, f32p,
         ]
+        lib.fgnn_dedup_remap.argtypes = [
+            i32p, i64, i32p, i64, i64, i32p, i32p,
+        ]
+        lib.fgnn_dedup_remap.restype = i64
     except AttributeError:
         pass  # stale .so without the samplers — python fallback used
     _lib = lib
@@ -227,6 +231,30 @@ def sample_random_walk(
         _ptr(nbr, ctypes.c_int32), _ptr(w, ctypes.c_float),
     )
     return nbr, w
+
+
+def dedup_remap(cur: np.ndarray, nbr_flat: np.ndarray, cap: int):
+    """CPUHashTable2-style dedup + remap (cpu_hashtable2.cc analog).
+
+    ``cur`` is the padded frontier (valid entries keep their slots, -1
+    holes allowed); ``nbr_flat`` the flat picks. Returns
+    ``(unique [cap], n_new, src_local [len(nbr_flat)])`` in the
+    hashtable-invariant layout (frontier-first, new nodes ascending) —
+    bit-identical to the NumPy dense-table path but O(batch) memory.
+    Returns None when the native library is unavailable."""
+    lib = _try_load()
+    if lib is None or not hasattr(lib, "fgnn_dedup_remap"):
+        return None
+    cur = np.ascontiguousarray(cur, dtype=np.int32)
+    nbr_flat = np.ascontiguousarray(nbr_flat, dtype=np.int32)
+    unique = np.empty(cap, dtype=np.int32)
+    src_local = np.empty(len(nbr_flat), dtype=np.int32)
+    n_new = lib.fgnn_dedup_remap(
+        _ptr(cur, ctypes.c_int32), len(cur),
+        _ptr(nbr_flat, ctypes.c_int32), len(nbr_flat), cap,
+        _ptr(unique, ctypes.c_int32), _ptr(src_local, ctypes.c_int32),
+    )
+    return unique, int(n_new), src_local
 
 
 def rank_desc(counts: np.ndarray) -> np.ndarray:

@@ -215,6 +215,73 @@ void fgnn_sample_weighted_khop(const int64_t* indptr, const int32_t* indices,
   }
 }
 
+// CPUHashTable2-style dedup + remap (cpu_hashtable2.cc analog): given the
+// current frontier `cur` (padded to S_pad with -1, valid entries keep
+// their slot positions) and the flat neighbor picks `nbr`, produce the
+// hashtable-invariant unique layout (frontier-first, new nodes ascending)
+// and remap every pick to its local position in that layout. The table is
+// open-addressing sized O(S_pad + n) — not the O(num_node) dense array of
+// the NumPy fallback (444MB/hop at papers100M scale). New nodes beyond
+// `cap - S_pad` are dropped (pick remaps to -1), matching the padded-COO
+// overflow contract. Returns n_new (new nodes actually appended).
+int64_t fgnn_dedup_remap(const int32_t* cur, int64_t S_pad,
+                         const int32_t* nbr, int64_t n, int64_t cap,
+                         int32_t* unique_out, int32_t* src_local) {
+  // table size: next pow2 >= 2*(S_pad + n), min 16
+  uint64_t want = 2 * (uint64_t)(S_pad + n);
+  uint64_t size = 16;
+  while (size < want) size <<= 1;
+  const uint64_t hmask = size - 1;
+  std::vector<int32_t> keys(size, -1);
+  std::vector<int32_t> vals(size, -1);
+  auto slot_of = [&](int32_t key) -> uint64_t {
+    uint64_t h = splitmix64((uint64_t)(uint32_t)key) & hmask;
+    while (keys[h] != -1 && keys[h] != key) h = (h + 1) & hmask;
+    return h;
+  };
+
+  // 1) frontier keeps its slot positions (holes included)
+  for (int64_t i = 0; i < cap; ++i)
+    unique_out[i] = i < S_pad ? cur[i] : -1;
+  for (int64_t i = 0; i < S_pad; ++i) {
+    int32_t v = cur[i];
+    if (v < 0) continue;
+    uint64_t h = slot_of(v);
+    if (keys[h] == -1) { keys[h] = v; vals[h] = (int32_t)i; }
+  }
+
+  // 2) collect distinct new nodes (marker -2 = seen, unnumbered)
+  std::vector<int32_t> fresh;
+  fresh.reserve((size_t)n);
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = nbr[i];
+    if (v < 0) continue;
+    uint64_t h = slot_of(v);
+    if (keys[h] == -1) { keys[h] = v; vals[h] = -2; fresh.push_back(v); }
+  }
+
+  // 3) ascending order; clip to capacity (dropped stay marker -2 -> -1)
+  std::sort(fresh.begin(), fresh.end());
+  int64_t n_new = (int64_t)fresh.size();
+  if (n_new > cap - S_pad) n_new = cap - S_pad;
+  if (n_new < 0) n_new = 0;
+  for (int64_t j = 0; j < n_new; ++j) {
+    int32_t v = fresh[(size_t)j];
+    unique_out[S_pad + j] = v;
+    vals[slot_of(v)] = (int32_t)(S_pad + j);
+  }
+
+  // 4) remap picks (parallel: table is read-only now)
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t v = nbr[i];
+    if (v < 0) { src_local[i] = -1; continue; }
+    int32_t p = vals[slot_of(v)];
+    src_local[i] = p >= 0 ? p : -1;
+  }
+  return n_new;
+}
+
 // PinSAGE host sampling (cpu_sampling_random_walk.cc + FrequencyHashmap
 // analog): W random walks of length L per seed, each step records the
 // visited node then terminates with probability `restart`; per-seed top-K

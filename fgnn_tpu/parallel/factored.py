@@ -742,6 +742,7 @@ class SGNNEngine(_EngineBase):
         # init
         _ss = jax.jit(lambda g, k, s, n: self._sample_one(g, k, s, n))
         single_sample = lambda k, s, n: _ss(self.graph, k, s, n)
+        self.single_sample = single_sample
         seeds0, n0, _ = next(self.shufflers[0].batches(0))
         batch0 = single_sample(
             jax.random.key(cfg.seed), jnp.asarray(seeds0), jnp.int32(n0)
@@ -1006,6 +1007,31 @@ class SGNNEngine(_EngineBase):
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.num_local_step * W,
         }
+
+    def evaluate(self, node_set: Optional[np.ndarray] = None) -> float:
+        """Test accuracy on the data mesh (train_accuracy.py analog)."""
+        cfg = self.cfg
+        nodes = np.asarray(
+            node_set if node_set is not None else self.ds.test_set
+        )
+        if not hasattr(self, "_eval_step"):
+            self._eval_step = jax.jit(
+                make_eval_step(self.model, self.dst_caps, cfg.batch_size)
+            )
+        _fg = _pick_feat_gather(self.ds)
+        base = jax.random.key(cfg.seed + 12345)
+        sh = EpochShuffler(nodes, cfg.batch_size, self.plan.num_input_cap[0],
+                           base_seed=cfg.seed + 7)
+        accs = []
+        for seeds, n, step in sh.batches(0):
+            key = jax.random.fold_in(base, step)
+            batch = self.single_sample(key, jnp.asarray(seeds), jnp.int32(n))
+            feats = _fg(self.feat_dev, batch.input_nodes)
+            labels = label_gather(self.label_dev, batch.output_nodes)
+            accs.append(float(
+                self._eval_step(self.state.params, batch, feats, labels)
+            ))
+        return float(np.mean(accs)) if accs else 0.0
 
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg

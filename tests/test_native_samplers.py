@@ -143,3 +143,40 @@ def test_host_engine_uses_native_weighted(tiny_graph):
         valid = nbr[i][nbr[i] >= 0]
         allowed = set(indices[indptr[v]:indptr[v + 1]].tolist())
         assert set(valid.tolist()) <= allowed
+
+
+def test_native_dedup_remap_matches_numpy_golden():
+    """fgnn_dedup_remap (cpu_hashtable2.cc analog) is bit-identical to the
+    NumPy dense-table dedup used by np_multi_layer_sample — frontier slots
+    preserved, new nodes ascending, capacity clip drops remaps to -1."""
+    from fgnn_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(100):
+        S = int(rng.integers(1, 40))
+        f = int(rng.integers(1, 8))
+        cap = S + int(rng.integers(0, 30))
+        num_node = int(rng.integers(S + 5, 300))
+        cur = np.full(S, -1, dtype=np.int32)
+        ncur = int(rng.integers(1, S + 1))
+        cur[:ncur] = rng.choice(num_node, size=ncur, replace=False)
+        nbr = rng.integers(-1, num_node, size=S * f).astype(np.int32)
+        nbr[rng.random(S * f) < 0.3] = -1
+
+        new = np.unique(nbr[nbr >= 0])
+        new = new[~np.isin(new, cur[cur >= 0])]
+        n_new_g = min(len(new), cap - S)
+        uniq_g = np.full(cap, -1, dtype=np.int32)
+        uniq_g[:S] = cur
+        uniq_g[S:S + n_new_g] = new[:n_new_g]
+        table = np.full(num_node + 1, -1, dtype=np.int32)
+        pos = np.nonzero(uniq_g >= 0)[0]
+        table[uniq_g[pos]] = pos
+        src_g = np.where(nbr >= 0, table[np.maximum(nbr, 0)], -1)
+
+        uniq_n, n_new_n, src_n = native.dedup_remap(cur, nbr, cap)
+        assert n_new_n == n_new_g
+        assert np.array_equal(uniq_n, uniq_g)
+        assert np.array_equal(src_n, src_g)
