@@ -70,12 +70,14 @@ def main():
         print(f"[fig17a] {tag}", flush=True)
         # headline epoch time at level 1; per-stage split from a second
         # level-2 pass (stage timers sync per stage — table5 convention)
+        # 90min/arm: 8-epoch pinsage runs exceed the default 30min cap
+        # when the 8-device mesh is contended
         r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
-                    env={**env, **xenv})
+                    env={**env, **xenv}, timeout=5400)
         rp = run_app(base + extra + ["--profile-level", "2",
                                      "--num-epoch", "3"],
                      os.path.join(HERE, "run-logs"), tag + "_stages",
-                     env={**env, **xenv})
+                     env={**env, **xenv}, timeout=5400)
         for k in ("sample_time", "copy_time", "extract_time", "train_time"):
             if rp.values.get(k):
                 r.values[k] = rp.values[k]

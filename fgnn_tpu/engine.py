@@ -610,6 +610,7 @@ class OneChipEngine:
                     prof.trace_event(skey, "sample", t._start * 1e6,
                                      Timer.now_us())
                 t.reset()
+                et = 0.0  # Extract portion of the copy stage (table1 split)
                 if self.feat_on_device:
                     feats = self._gather_g(self.feat_dev, batch.input_nodes)
                     if cfg.profile_level >= 2:
@@ -638,9 +639,11 @@ class OneChipEngine:
                     tc = Timer()
                     index = self.cache.get_miss_cache_index(batch.input_nodes)
                     num_miss = int(index.num_miss)  # syncs the split
+                    t_idx = tc.passed()
+                    et += t_idx
                     if lvl2:
                         prof.log_step(skey, "L2_cache_get_index_time",
-                                      tc.passed())
+                                      t_idx)
                     if prof.trace_enabled:
                         prof.trace_event(skey, "cache_get_index",
                                          tc._start * 1e6, Timer.now_us())
@@ -648,9 +651,11 @@ class OneChipEngine:
                     miss = self.cache.host_extract_miss(
                         np.asarray(index.miss_ids), num_miss
                     )
+                    t_miss = tc.passed()
+                    et += t_miss
                     if lvl2:
                         prof.log_step(skey, "L2_cache_extract_miss_time",
-                                      tc.passed())
+                                      t_miss)
                     if prof.trace_enabled:
                         prof.trace_event(skey, "cache_extract_miss",
                                          tc._start * 1e6, Timer.now_us())
@@ -683,6 +688,7 @@ class OneChipEngine:
                     th = Timer()
                     feats_h = host_gather(self.ds.feat, in_nodes,
                                           mod=self.ds.feat_mod)
+                    et += th.passed()
                     if cfg.profile_level >= 2:
                         prof.log_step(skey, "L2_extract_time", th.passed())
                     th.reset()
@@ -693,7 +699,11 @@ class OneChipEngine:
                 ct = t.passed()
                 prof.log_step(skey, "L1_copy_time", ct)
                 if not self.feat_on_device:
-                    prof.log_epoch_add(epoch, "epoch_copy_time", ct)
+                    # table1 split: Extract (host gather / cache miss
+                    # extraction) vs Copy (host->device transfer + merge)
+                    prof.log_epoch_add(epoch, "epoch_extract_time", et)
+                    prof.log_epoch_add(epoch, "epoch_copy_time",
+                                       max(ct - et, 0.0))
                 if prof.trace_enabled:
                     prof.trace_event(skey, "extract_copy", t._start * 1e6,
                                      Timer.now_us())

@@ -406,11 +406,15 @@ class HostSamplingEngine:
             prof.log_step(skey, "L1_sample_time", st)
             prof.log_epoch_add(epoch, "epoch_sample_time", st)
             t.reset()
+            # reference table1 splits Extract (the host feature gather,
+            # DoCPUFeatureExtract) from Copy (host->device transfer)
             if self.cache is not None:
                 idx = self.cache.get_miss_cache_index(batch.input_nodes)
                 miss = self.cache.host_extract_miss(
                     np.asarray(idx.miss_ids), int(idx.num_miss)
                 )
+                et = t.passed()
+                t.reset()
                 feats = self.cache.combine(idx, jnp.asarray(miss))
                 F = miss.shape[1]
                 prof.log_epoch_add(epoch, "epoch_miss_bytes",
@@ -420,14 +424,19 @@ class HostSamplingEngine:
                     float(int(batch.num_input) * F * 4),
                 )
             else:
-                feats = jnp.asarray(
-                    host_gather(self.ds.feat, np.asarray(batch.input_nodes),
-                                mod=self.ds.feat_mod)
+                feats_h = host_gather(
+                    self.ds.feat, np.asarray(batch.input_nodes),
+                    mod=self.ds.feat_mod,
                 )
+                et = t.passed()
+                t.reset()
+                feats = jnp.asarray(feats_h)
+            prof.log_step(skey, "L2_extract_time", et)
+            prof.log_epoch_add(epoch, "epoch_extract_time", et)
             if cfg.profile_level >= 2:
                 force_done(feats)
             ct = t.passed()
-            prof.log_step(skey, "L1_copy_time", ct)
+            prof.log_step(skey, "L1_copy_time", ct + et)
             prof.log_epoch_add(epoch, "epoch_copy_time", ct)
             t.reset()
             out = np.asarray(batch.output_nodes)
