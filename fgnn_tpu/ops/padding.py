@@ -23,6 +23,22 @@ def _round_up(x: int, m: int = 128) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_up(x: int, steps_per_octave: int) -> int:
+    """Round up to a coarse geometric grid (128 * 2^(i/steps)).
+
+    Compile-time shape bucketing: measured caps differ slightly across
+    nearby configs (seed, skew, calibration probes), and every distinct
+    cap is a distinct XLA program — minutes per compile on the remote TPU
+    path. Bucketing trades bounded padding overhead (<= 2^(1/steps)-1,
+    e.g. 19% at 4 steps/octave, 9% at 8) for program reuse."""
+    import math
+
+    if x <= 128:
+        return 128
+    i = math.ceil(math.log2(x / 128.0) * steps_per_octave - 1e-9)
+    return _round_up(int(math.ceil(128.0 * 2.0 ** (i / steps_per_octave))))
+
+
 @dataclasses.dataclass(frozen=True)
 class SamplePlan:
     """Per-layer static buffer sizes for one mini-batch sample.
@@ -67,10 +83,16 @@ def make_plan(
     ``FGNN_TPU_ALLOC_SCALE`` overrides ``scale`` (e.g. the multichip
     dryrun sets a generous scale so its correctness signal is never
     computed on clipped neighborhoods).
+
+    ``FGNN_TPU_CAP_BUCKET=<steps/octave>`` (opt-in) rounds measured caps
+    up to a coarse geometric grid so nearby configs share compiled
+    programs (remote TPU compiles are minutes each); 0/unset keeps exact
+    128-aligned caps.
     """
     import os
 
     scale = float(os.environ.get("FGNN_TPU_ALLOC_SCALE", scale))
+    bucket = int(os.environ.get("FGNN_TPU_CAP_BUCKET", "0"))
     fan = tuple(reversed([int(f) for f in fanouts]))
     n_in = []
     n_edge = []
@@ -83,6 +105,8 @@ def make_plan(
         n_edge.append(edges)
         if unique_caps is not None:
             uniq = _round_up(int(unique_caps[l] * scale))
+            if bucket > 0:
+                uniq = _bucket_up(uniq, bucket)
         else:
             uniq = _round_up(cur + edges)      # worst case: all new
         uniq = min(uniq, _round_up(num_node))

@@ -158,3 +158,29 @@ def test_multi_layer_deterministic(small_ds):
     b1 = f(jax.random.key(7))
     b2 = f(jax.random.key(7))
     assert np.array_equal(np.asarray(b1.input_nodes), np.asarray(b2.input_nodes))
+
+
+def test_cap_bucketing_shares_programs(monkeypatch):
+    """FGNN_TPU_CAP_BUCKET rounds measured caps to a coarse geometric
+    grid: nearby calibrations produce IDENTICAL plans (compiled-program
+    reuse), caps never shrink below the exact ones, padding overhead is
+    bounded by one grid step."""
+    from fgnn_tpu.ops.padding import _bucket_up
+
+    # grid math: >= x, monotone, bounded overhead
+    for steps in (4, 8):
+        prev = 0
+        for x in range(1, 20000, 37):
+            v = _bucket_up(x, steps)
+            assert v >= x
+            assert v >= prev or x < prev
+            assert v <= max(128, x * 2 ** (1.0 / steps) + 128)
+            prev = v
+
+    monkeypatch.setenv("FGNN_TPU_CAP_BUCKET", "4")
+    p1 = make_plan(1000, [5, 10], 100_000, unique_caps=[4100, 20000])
+    p2 = make_plan(1000, [5, 10], 100_000, unique_caps=[4150, 20400])
+    assert p1 == p2  # nearby calibrations -> same program shapes
+    monkeypatch.delenv("FGNN_TPU_CAP_BUCKET")
+    pe = make_plan(1000, [5, 10], 100_000, unique_caps=[4100, 20000])
+    assert all(a >= b for a, b in zip(p1.num_unique_cap, pe.num_unique_cap))
