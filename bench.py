@@ -56,33 +56,15 @@ def _env_f(name, default):
 
 
 # --------------------------------------------------------------------------
-# child: the actual measurement (runs with the axon backend)
+# dataset (host-side; no jax import so it can pre-generate while the TPU
+# tunnel is down — see --gen-only)
 # --------------------------------------------------------------------------
 
-def run_child():
-    import jax
-
-    # test hook: run the full measurement on another backend (the shell's
-    # sitecustomize preloads axon, so an env prefix alone doesn't stick)
-    plat = os.environ.get("FGNN_BENCH_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-
-    # persistent compile cache: the fused-step XLA compile is expensive on
-    # first run; cache survives across bench invocations
-    cache_dir = os.path.join(REPO, ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
+def load_or_make_dataset():
     import numpy as np
 
-    from fgnn_tpu.config import RunConfig, SampleType
     from fgnn_tpu.data import make_synthetic_dataset
     from fgnn_tpu.data.schema import Dataset
-    from fgnn_tpu.engine import OneChipEngine
 
     # papers100M-flavoured synthetic (scaled to fit bench time budget):
     num_node = int(_env_f("FGNN_BENCH_NODES", 1_000_000))
@@ -115,6 +97,37 @@ def run_child():
             np.save(os.path.join(bc, f"{k}.npy"), getattr(ds, k))
     print(f"# dataset: {ds.num_node} nodes {ds.num_edge} edges "
           f"({time.time()-t0:.1f}s)", file=sys.stderr)
+    return ds
+
+
+# --------------------------------------------------------------------------
+# child: the actual measurement (runs with the axon backend)
+# --------------------------------------------------------------------------
+
+def run_child():
+    import jax
+
+    # test hook: run the full measurement on another backend (the shell's
+    # sitecustomize preloads axon, so an env prefix alone doesn't stick)
+    plat = os.environ.get("FGNN_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
+    # persistent compile cache: the fused-step XLA compile is expensive on
+    # first run; cache survives across bench invocations
+    cache_dir = os.path.join(REPO, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import numpy as np
+
+    from fgnn_tpu.config import RunConfig, SampleType
+    from fgnn_tpu.engine import OneChipEngine
+
+    ds = load_or_make_dataset()
 
     cfg = RunConfig(
         model="graphsage", fanout=(25, 10), batch_size=8000,
@@ -249,6 +262,11 @@ def report_last_good(reason: str) -> int:
 def main() -> int:
     if "--child" in sys.argv:
         return run_child()
+    if "--gen-only" in sys.argv:
+        # pre-generate the dataset cache host-side (no jax / no tunnel
+        # needed) so a later measurement attempt starts immediately
+        load_or_make_dataset()
+        return 0
 
     probe_timeout = _env_f("FGNN_BENCH_PROBE_TIMEOUT", 300)
     probe_interval = _env_f("FGNN_BENCH_PROBE_INTERVAL", 120)

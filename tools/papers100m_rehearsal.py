@@ -63,6 +63,9 @@ def main():
                    help="generation takes 25-45 min host-side; save the "
                         "arrays once and mmap them on later runs "
                         "(train split regenerated per --train-frac)")
+    p.add_argument("--gen-only", action="store_true",
+                   help="generate + save the dataset and exit (host-side "
+                        "work only — useful while the TPU tunnel is down)")
     args = p.parse_args()
 
     import numpy as np
@@ -118,6 +121,9 @@ def main():
             np.save(os.path.join(d, "label.npy"), ds.label)
             print(f"[gen] saved to {d}", flush=True)
     assert ds.num_edge < 2**31, "int32 indptr bound"
+    if args.gen_only:
+        print("[gen] --gen-only: dataset ready, exiting", flush=True)
+        return
 
     if args.mode == "hbm":
         cfg = RunConfig(
