@@ -378,8 +378,75 @@ class OneChipEngine:
                 )
 
             self._epoch_g = jax.jit(epoch_fused, donate_argnums=(0,))
+
+            # software-pipelined epoch: each scan iteration trains on the
+            # batch PRODUCED IN THE PREVIOUS iteration while producing the
+            # next one. The two halves share no data dependence, so XLA's
+            # latency-hiding scheduler can overlap the row-rate-bound
+            # feature-gather DMAs with the MXU fwd/bwd — the sequential
+            # form serializes them (gather -> train -> gather...). Math is
+            # bit-identical to epoch_fused: same batches, same keys, same
+            # order (test_pipelined_epoch). Opt in/out via
+            # FGNN_TPU_PIPELINE_EPOCH; the carry holds one prefetched
+            # batch (+~1GB HBM at bench caps — the double buffer).
+            def produce(graph, feat, label, epoch_key, seeds, n, i):
+                key = jax.random.fold_in(epoch_key, i)
+                batch = self._sample(graph, key, seeds, n,
+                                     dedup_last_hop=dedup)
+                feats = feat_gather(feat, batch.input_nodes)
+                labels = label_gather(label, batch.output_nodes)
+                n_edges = sum(
+                    jnp.sum(b.mask).astype(jnp.int32) for b in batch.blocks
+                )
+                return (batch, feats, labels, key, n_edges,
+                        batch.overflowed)
+
+            def train_on(st, pre):
+                batch, feats, labels, key, n_edges, ovf = pre
+                k_drop = jax.random.fold_in(key, 0x5eed)
+                st2, loss, acc = train_step(st, batch, feats, labels,
+                                            k_drop)
+                return st2, (loss, acc, n_edges, ovf)
+
+            def epoch_pipelined(state, graph, feat, label, epoch_key,
+                                seeds_all, nums_all):
+                steps = seeds_all.shape[0]
+                pre0 = produce(graph, feat, label, epoch_key,
+                               seeds_all[0], nums_all[0], jnp.int32(0))
+
+                def body(carry, inp):
+                    st, pre = carry
+                    seeds, n, i = inp
+                    st2, out = train_on(st, pre)             # step i-1
+                    pre2 = produce(graph, feat, label, epoch_key,
+                                   seeds, n, i)              # step i
+                    return (st2, pre2), out
+
+                idx = jnp.arange(1, steps, dtype=jnp.int32)
+                (state, last), (losses, accs, edges, ovfs) = jax.lax.scan(
+                    body, (state, pre0),
+                    (seeds_all[1:], nums_all[1:], idx),
+                )
+                state, (l_l, a_l, e_l, o_l) = train_on(state, last)
+                losses = jnp.concatenate([losses, l_l[None]])
+                accs = jnp.concatenate([accs, a_l[None]])
+                edges = jnp.concatenate([edges, e_l[None]])
+                ovfs = jnp.concatenate([ovfs, o_l[None]])
+                w = (nums_all > 0).astype(jnp.float32)
+                wsum = jnp.maximum(w.sum(), 1.0)
+                return state, (
+                    (losses * w).sum() / wsum,
+                    (accs * w).sum() / wsum,
+                    edges.sum(),
+                    ovfs.any(),
+                )
+
+            self._epoch_pipe_g = jax.jit(epoch_pipelined,
+                                         donate_argnums=(0,))
+            pipe = os.environ.get("FGNN_TPU_PIPELINE_EPOCH", "0") == "1"
+            epoch_g = self._epoch_pipe_g if pipe else self._epoch_g
             self.epoch_fused = (
-                lambda state, epoch_key, seeds_all, nums_all: self._epoch_g(
+                lambda state, epoch_key, seeds_all, nums_all: epoch_g(
                     state, self.graph, self.feat_dev, self.label_dev,
                     epoch_key, seeds_all, nums_all,
                 )
