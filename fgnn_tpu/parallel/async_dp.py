@@ -142,3 +142,14 @@ class AsyncFactoredEngine(FactoredEngine):
         return jax.tree.map(
             lambda x: jnp.mean(x, axis=0).astype(x.dtype), self.state
         )
+
+    def evaluate(self, node_set=None) -> float:
+        """Accuracy of the replica-averaged model — self.state carries a
+        leading per-worker axis here, which the base eval step must not
+        see (it applies unstacked params)."""
+        saved = self.state
+        self.state = self.consolidated_state()
+        try:
+            return super().evaluate(node_set)
+        finally:
+            self.state = saved

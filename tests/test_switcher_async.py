@@ -71,6 +71,13 @@ def test_async_engine_matches_sync_direction(small_ds):
     st = eng.consolidated_state()
     flat = jax.tree.leaves(st.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    # evaluate must consolidate the stacked per-worker params (fig16a's
+    # async curve crashed on the leading worker axis before the override)
+    acc = eng.evaluate()
+    assert 0.0 <= acc <= 1.0
+    # and must not clobber the stacked training state
+    assert jax.tree.leaves(eng.state.params)[0].ndim == \
+        jax.tree.leaves(st.params)[0].ndim + 1
 
 
 def test_switcher_own_cache(small_ds):
