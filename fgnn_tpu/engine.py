@@ -560,10 +560,38 @@ class OneChipEngine:
             epoch_key = jax.random.fold_in(
                 jax.random.key(cfg.seed), 0x10000 + epoch
             )
-            self.state, (loss, acc, edges, ovf) = self.epoch_fused(
-                self.state, epoch_key, jnp.asarray(seeds_all),
-                jnp.asarray(nums_all),
-            )
+            if os.environ.get("FGNN_TPU_PERSTEP_FUSED", "0") == "1":
+                # Same math as epoch_fused, dispatched one fused step at
+                # a time: async dispatches pipeline over the tunnel at
+                # scan cost (probe_dispatch_cost.py: 41.3 vs 41.0
+                # ms/step; only per-step SYNC pays the ~95ms RTT), and
+                # the per-step program compiles remotely at papers100M
+                # caps where the whole-epoch scan does not (PERF.md).
+                seeds_dev = jnp.asarray(seeds_all)
+                nums_dev = jnp.asarray(nums_all)
+                st = self.state
+                ls, as_, es, os_ = [], [], [], []
+                for i in range(seeds_all.shape[0]):
+                    key = jax.random.fold_in(epoch_key, i)
+                    st, l, a, ne, ov = self.fused_step(
+                        st, key, seeds_dev[i], nums_dev[i]
+                    )
+                    ls.append(l); as_.append(a); es.append(ne)
+                    os_.append(ov)
+                self.state = st
+                w = jnp.asarray(
+                    (np.asarray(nums_all) > 0).astype(np.float32)
+                )
+                wsum = jnp.maximum(w.sum(), 1.0)
+                loss = (jnp.stack(ls) * w).sum() / wsum
+                acc = (jnp.stack(as_) * w).sum() / wsum
+                edges = jnp.stack(es).sum()
+                ovf = jnp.stack(os_).any()
+            else:
+                self.state, (loss, acc, edges, ovf) = self.epoch_fused(
+                    self.state, epoch_key, jnp.asarray(seeds_all),
+                    jnp.asarray(nums_all),
+                )
             stats = np.asarray(jnp.stack(
                 [loss, acc, edges.astype(jnp.float32),
                  ovf.astype(jnp.float32)]

@@ -54,6 +54,36 @@ def test_pipelined_epoch_bit_identical(ds):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_perstep_fused_bit_identical(ds):
+    """FGNN_TPU_PERSTEP_FUSED dispatches the same fused step per step —
+    identical losses/params to the scanned epoch (only dispatch differs)."""
+    from fgnn_tpu.engine import OneChipEngine
+    from fgnn_tpu.config import RunConfig, SampleType
+
+    def run(perstep):
+        os.environ["FGNN_TPU_PERSTEP_FUSED"] = "1" if perstep else "0"
+        try:
+            cfg = RunConfig(
+                model="graphsage", fanout=(5, 5), batch_size=256,
+                num_hidden=64, sample_type=SampleType.KHOP2,
+                cache_percentage=0.0, dropout=0.5, lr=0.01,
+            )
+            eng = OneChipEngine(cfg, ds)
+            stats = [eng.run_epoch(e) for e in range(2)]
+            return eng, stats
+        finally:
+            os.environ.pop("FGNN_TPU_PERSTEP_FUSED", None)
+
+    eng_a, stats_a = run(False)
+    eng_b, stats_b = run(True)
+    for sa, sb in zip(stats_a, stats_b):
+        assert np.allclose(sa["loss"], sb["loss"], rtol=1e-6), (sa, sb)
+        assert sa["sampled_edges"] == sb["sampled_edges"]
+    for a, b in zip(jax.tree.leaves(eng_a.state.params),
+                    jax.tree.leaves(eng_b.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pipelined_single_step_epoch(ds):
     """steps == 1 exercises the empty-scan prologue/epilogue edges."""
     from fgnn_tpu.engine import OneChipEngine
