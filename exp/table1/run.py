@@ -50,7 +50,6 @@ def main():
         "--num-epoch", str(args.num_epoch),
         "--batch-size", str(args.batch_size),
         "--fanout", "5", "10", "15",
-        "--profile-level", "2",
     ]
     cache = ["--cache-policy", "pre_sample",
              "--cache-percentage", str(args.cache_percentage)]
@@ -64,18 +63,33 @@ def main():
         ("dev-sample+hbm-feat", ["--arch", "arch1"], {}),
     ]
 
+    # Two passes per row: epoch_time from an UNINSTRUMENTED run (the
+    # fused/fast path — the honest end-to-end number), stage columns
+    # from a profile-level-2 run whose per-stage syncs each pay a
+    # tunnel round-trip (~0.1s) on this hardware and therefore inflate
+    # absolute stage sums; the split is for attribution, the level-1
+    # epoch_time is the measurement (see README).
     results = []
     for tag, extra, extra_env in rows:
         print(f"[table1] {tag}", flush=True)
-        r = run_app(base + extra, os.path.join(HERE, "run-logs"), tag,
+        r = run_app(base + extra + ["--profile-level", "1"],
+                    os.path.join(HERE, "run-logs"), tag + "-l1",
                     env={**env, **extra_env})
+        r2 = run_app(base + extra + ["--profile-level", "2"],
+                     os.path.join(HERE, "run-logs"), tag + "-l2",
+                     env={**env, **extra_env})
+        for k in ("sample_time", "copy_time", "extract_time",
+                  "train_time"):
+            if k in r2.values:
+                r.values[k] = r2.values[k]
+        r.values["epoch_time_l2"] = r2.values.get("epoch_time", "")
         r.config["system"] = tag
         results.append(r)
 
     write_table(
         results,
         ["system", "sample_time", "copy_time", "extract_time",
-         "train_time", "epoch_time"],
+         "train_time", "epoch_time", "epoch_time_l2"],
         os.path.join(HERE, "table1.dat"),
     )
     write_json(results, os.path.join(HERE, "table1.json"))
