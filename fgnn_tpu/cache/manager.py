@@ -163,6 +163,31 @@ class FeatureCache:
             out = out.astype(ml_dtypes.bfloat16)   # halve the upload
         return out
 
+    def upload_miss(self, index: MissCacheIndex, num_miss=None,
+                    device=None):
+        """Bucketed miss upload: fetch only a power-of-2 slice of the miss
+        ids, host-gather, and H2D that bucket — NOT the full unique cap.
+        At papers100M caps the cap-padded upload is ~230MB/step while the
+        real misses at 98.8% hit are ~1MB; this was the entire cache-mode
+        epoch cost (772s -> see PERF.md round 3). A handful of bucket
+        shapes keeps combine()'s compile cache small (combine's
+        clip-mode take accepts any miss row count >= num_miss).
+
+        Returns (miss rows on device [bucket, F], num_miss).
+        """
+        if num_miss is None:
+            num_miss = int(index.num_miss)   # syncs the split
+        cap = int(index.miss_ids.shape[0])
+        b = 1024
+        while b < num_miss:
+            b *= 2
+        b = min(b, cap)
+        ids = np.asarray(index.miss_ids[:b])
+        miss = self.host_extract_miss(ids, num_miss)
+        out = (jax.device_put(miss, device) if device is not None
+               else jax.device_put(miss))
+        return out, num_miss
+
     def hit_rate(self, index: MissCacheIndex) -> float:
         h = float(index.num_hit)
         m = float(index.num_miss)

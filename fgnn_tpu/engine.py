@@ -743,9 +743,7 @@ class OneChipEngine:
                         prof.trace_event(skey, "cache_get_index",
                                          tc._start * 1e6, Timer.now_us())
                     tc.reset()
-                    miss = self.cache.host_extract_miss(
-                        np.asarray(index.miss_ids), num_miss
-                    )
+                    miss_t, _ = self.cache.upload_miss(index, num_miss)
                     t_miss = tc.passed()
                     et += t_miss
                     if lvl2:
@@ -755,7 +753,7 @@ class OneChipEngine:
                         prof.trace_event(skey, "cache_extract_miss",
                                          tc._start * 1e6, Timer.now_us())
                     tc.reset()
-                    feats = self.cache.combine(index, jnp.asarray(miss))
+                    feats = self.cache.combine(index, miss_t)
                     if lvl2 or prof.trace_enabled:
                         force_done(feats)
                     if lvl2:
@@ -766,18 +764,18 @@ class OneChipEngine:
                     if prof.trace_enabled:
                         prof.trace_event(skey, "cache_copy_combine",
                                          tc._start * 1e6, Timer.now_us())
-                    itm = miss.dtype.itemsize
+                    itm = miss_t.dtype.itemsize
                     prof.log_step(
                         skey, "L1_miss_nbytes",
-                        float(num_miss * miss.shape[1] * itm),
+                        float(num_miss * miss_t.shape[1] * itm),
                     )
                     prof.log_epoch_add(
                         epoch, "epoch_miss_bytes",
-                        float(num_miss * miss.shape[1] * itm),
+                        float(num_miss * miss_t.shape[1] * itm),
                     )
                     prof.log_epoch_add(
                         epoch, "epoch_feature_bytes",
-                        float(int(batch.num_input) * miss.shape[1] * itm),
+                        float(int(batch.num_input) * miss_t.shape[1] * itm),
                     )
                 else:
                     th = Timer()
@@ -887,19 +885,16 @@ class OneChipEngine:
 
                 def host_part():
                     # device fetch + host gather + async upload, all off
-                    # the main thread
+                    # the main thread (bucketed — see upload_miss)
                     tc = Timer()
-                    num_miss = int(index.num_miss)
-                    miss = self.cache.host_extract_miss(
-                        np.asarray(index.miss_ids), num_miss
-                    )
-                    out = jax.device_put(miss)
+                    out, num_miss = self.cache.upload_miss(index)
                     if sync_stages:
                         force_done(out)
                         ct = tc.passed()
                         prof.log_step(skey, "L1_copy_time", ct)
                         prof.log_epoch_add(epoch, "epoch_copy_time", ct)
-                    return out, num_miss, miss.shape[1], miss.dtype.itemsize
+                    return (out, num_miss, out.shape[1],
+                            out.dtype.itemsize)
 
                 return key, batch, index, ex.submit(host_part)
 

@@ -410,13 +410,11 @@ class HostSamplingEngine:
             # DoCPUFeatureExtract) from Copy (host->device transfer)
             if self.cache is not None:
                 idx = self.cache.get_miss_cache_index(batch.input_nodes)
-                miss = self.cache.host_extract_miss(
-                    np.asarray(idx.miss_ids), int(idx.num_miss)
-                )
+                miss_t, _ = self.cache.upload_miss(idx)
                 et = t.passed()
                 t.reset()
-                feats = self.cache.combine(idx, jnp.asarray(miss))
-                F = miss.shape[1]
+                feats = self.cache.combine(idx, miss_t)
+                F = miss_t.shape[1]
                 prof.log_epoch_add(epoch, "epoch_miss_bytes",
                                    float(int(idx.num_miss) * F * 4))
                 prof.log_epoch_add(

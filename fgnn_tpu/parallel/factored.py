@@ -414,16 +414,16 @@ class FactoredEngine(_EngineBase):
         if index is None:
             ids = np.asarray(batch_t.input_nodes)
             index = self.cache.get_miss_cache_index(jnp.asarray(ids))
-        num_miss = int(index.num_miss)
-        miss = self.cache.host_extract_miss(np.asarray(index.miss_ids), num_miss)
-        miss_t = jax.device_put(miss, self.roles.trainer_replicated)
+        miss_t, num_miss = self.cache.upload_miss(
+            index, device=self.roles.trainer_replicated
+        )
         prof = Profiler.get()
-        itm = miss.dtype.itemsize
+        itm = miss_t.dtype.itemsize
         prof.log_epoch_add(self._cur_epoch, "epoch_miss_bytes",
-                           float(num_miss * miss.shape[1] * itm))
+                           float(num_miss * miss_t.shape[1] * itm))
         prof.log_epoch_add(
             self._cur_epoch, "epoch_feature_bytes",
-            float(int(batch_t.num_input) * miss.shape[1] * itm),
+            float(int(batch_t.num_input) * miss_t.shape[1] * itm),
         )
         return self.cache.combine(index, miss_t)
 

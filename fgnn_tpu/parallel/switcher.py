@@ -250,10 +250,8 @@ class SwitcherEngine(FactoredEngine):
 
             ids = np.asarray(batch_t.input_nodes)
             idx = self.switch_cache.get_miss_cache_index(jnp.asarray(ids))
-            miss = self.switch_cache.host_extract_miss(
-                np.asarray(idx.miss_ids), int(idx.num_miss)
-            )
-            return self.switch_cache.combine(idx, jax.device_put(miss))
+            miss_t, _ = self.switch_cache.upload_miss(idx)
+            return self.switch_cache.combine(idx, miss_t)
         return super()._feats_for(batch_t, index)
 
     def _train_tail(self, pending_batches, base, losses, accs):

@@ -181,10 +181,8 @@ class _Session:
             feats = device_gather(eng.feat_dev, batch.input_nodes)
         elif eng.cache is not None:
             index = eng.cache.get_miss_cache_index(batch.input_nodes)
-            miss = eng.cache.host_extract_miss(
-                np.asarray(index.miss_ids), int(index.num_miss)
-            )
-            feats = eng.cache.combine(index, jnp.asarray(miss))
+            miss_t, _ = eng.cache.upload_miss(index)
+            feats = eng.cache.combine(index, miss_t)
         else:
             feats = jnp.asarray(
                 host_gather(self.ds.feat, np.asarray(batch.input_nodes),

@@ -37,6 +37,37 @@ def test_miss_cache_split_and_combine():
             np.testing.assert_allclose(out[i], feat[g], rtol=1e-6)
 
 
+def test_upload_miss_bucketed_matches_full_cap():
+    """upload_miss H2Ds a power-of-2 BUCKET of miss rows, not the cap;
+    combine must produce the same features either way (papers100M's
+    cache-mode epoch was 80x cap-padded upload before this)."""
+    rng = np.random.default_rng(1)
+    num_node, dim = 50_000, 8
+    feat = rng.standard_normal((num_node, dim)).astype(np.float32)
+    ranking = rng.permutation(num_node).astype(np.int32)
+    cache = FeatureCache(feat, ranking, cache_percentage=0.5,
+                         num_node=num_node)
+
+    # id cap far above the bucket floor, few real ids -> bucket < cap
+    ids = np.full(5000, -1, dtype=np.int32)
+    real = rng.choice(num_node, 300, replace=False).astype(np.int32)
+    ids[:300] = real
+    index = cache.get_miss_cache_index(jnp.asarray(ids))
+    assert int(index.miss_ids.shape[0]) > 1024  # bucketing engages
+
+    miss_t, num_miss = cache.upload_miss(index)
+    assert miss_t.shape[0] == 1024  # floor bucket, not the 5000 cap
+    assert num_miss <= 1024
+    out = np.asarray(cache.combine(index, miss_t))
+
+    full = cache.host_extract_miss(np.asarray(index.miss_ids), num_miss)
+    ref = np.asarray(cache.combine(index, jnp.asarray(full)))
+    np.testing.assert_array_equal(out, ref)
+    for i, g in enumerate(ids):
+        if g >= 0:
+            np.testing.assert_allclose(out[i], feat[g], rtol=1e-6)
+
+
 def test_cache_zero_and_full():
     rng = np.random.default_rng(1)
     feat = rng.standard_normal((50, 4)).astype(np.float32)
