@@ -125,19 +125,28 @@ def print_run_config(cfg: RunConfig) -> None:
 
 
 def load_app_dataset(args):
-    """Load from the binary layout if present, else synthesize."""
+    """Load from the binary layout if present, else synthesize.
+
+    Times the load into ``init_load_dataset`` (kLogInitL1LoadDataset
+    analog — reference engine.cc LoadGraphDataset is timed by the init
+    profiler, profiler.h:30-57)."""
     from fgnn_tpu.data import load_dataset, make_synthetic_dataset
     from fgnn_tpu.data.synthetic import build_alias_tables
+    from fgnn_tpu.utils import Timer
+    from fgnn_tpu.utils.profiler import Profiler
 
+    t_load = Timer()
     if args.dataset != "synthetic":
-        return load_dataset(args.dataset, root=args.root_path)
-    ds = make_synthetic_dataset(
-        num_node=args.synthetic_nodes, avg_degree=15, feat_dim=128,
-        num_class=64, seed=args.seed,
-        train_frac=getattr(args, "synthetic_train_frac", 0.1),
-        neighbor_skew=getattr(args, "synthetic_skew", 2.0),
-        neighbor_pref=getattr(args, "synthetic_pref", 0.0),
-    )
-    if (args.sample_type or "").startswith("weighted"):
-        build_alias_tables(ds, seed=args.seed)
+        ds = load_dataset(args.dataset, root=args.root_path)
+    else:
+        ds = make_synthetic_dataset(
+            num_node=args.synthetic_nodes, avg_degree=15, feat_dim=128,
+            num_class=64, seed=args.seed,
+            train_frac=getattr(args, "synthetic_train_frac", 0.1),
+            neighbor_skew=getattr(args, "synthetic_skew", 2.0),
+            neighbor_pref=getattr(args, "synthetic_pref", 0.0),
+        )
+        if (args.sample_type or "").startswith("weighted"):
+            build_alias_tables(ds, seed=args.seed)
+    Profiler.get().log_init("init_load_dataset", t_load.passed())
     return ds

@@ -132,6 +132,7 @@ def main():
         prof.report_node_access("node", ds.num_node)
     log_test_result("init:presample", f"{prof.get_init_value('init_presample'):.4f}")
     log_test_result("init:load_dataset", f"{prof.get_init_value('init_load_dataset'):.4f}")
+    log_test_result("init:copy", f"{prof.get_init_value('init_copy'):.4f}")
     log_test_result("init:build_cache", f"{prof.get_init_value('init_build_cache'):.4f}")
 
 

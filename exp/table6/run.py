@@ -63,7 +63,7 @@ def main():
 
     write_table(
         results,
-        ["policy", "init:load_dataset", "init:build_cache",
+        ["policy", "init:load_dataset", "init:copy", "init:build_cache",
          "init:presample", "init_time", "cache_hit_rate", "epoch_time",
          "epoch_time:min"],
         os.path.join(HERE, "table6.dat"),

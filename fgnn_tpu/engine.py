@@ -57,6 +57,8 @@ class OneChipEngine:
         # FGNN_TPU_PROFILE_LEVEL wasn't exported (library users)
         prof.level = max(prof.level, cfg.profile_level)
         t = Timer()
+        t_copy = Timer()  # device-placement spans (SampleDataCopy analog)
+        copy_s = 0.0
 
         # --- topology to device (SampleDataCopy analog) -------------------
         indptr = np.asarray(ds.indptr)
@@ -109,6 +111,8 @@ class OneChipEngine:
                 else None
             ),
         )
+        force_done(self.graph.indices)
+        copy_s += t_copy.passed()
 
         # --- static plan via NumPy calibration ----------------------------
         if cfg.sample_type == SampleType.RANDOM_WALK:
@@ -138,6 +142,7 @@ class OneChipEngine:
             os.environ.get("FGNN_TPU_FEAT_HBM_BUDGET", feat_hbm_budget)
         )
         self.feat_on_device = feat_bytes <= feat_hbm_budget
+        t_copy = Timer()
         if self.feat_on_device:
             # bf16 table halves both HBM residency and gather bandwidth
             self.feat_dev = jnp.asarray(
@@ -147,6 +152,8 @@ class OneChipEngine:
         else:
             self.feat_dev = None
         self.label_dev = jnp.asarray(np.asarray(ds.label))
+        force_done(self.label_dev)
+        copy_s += t_copy.passed()
 
         # --- shuffler ------------------------------------------------------
         self.shuffler = EpochShuffler(
@@ -233,7 +240,8 @@ class OneChipEngine:
                 state_h, epoch = restored
                 self.state = jax.device_put(state_h)
                 self.start_epoch = epoch + 1
-        prof.log_init("init_other", t.passed())
+        prof.log_init("init_copy", copy_s)
+        prof.log_init("init_other", max(0.0, t.passed() - copy_s))
 
     # ------------------------------------------------------------------
     def _sample(self, graph, key, seeds, num_seeds,

@@ -221,9 +221,13 @@ class FactoredEngine(_EngineBase):
         self.roles = make_role_mesh(S, T, devices)
         prof = Profiler.get()
         t0 = Timer()
+        copy_s = 0.0  # device-placement spans (SampleDataCopy analog)
 
         # --- sampler side (SampleInit analog, dist_engine.cc:231-364) ----
+        t_copy = Timer()
         self.graph_s = _put_graph(ds, cfg, self.roles.sampler_replicated)
+        force_done(self.graph_s.indices)
+        copy_s += t_copy.passed()
 
         def sample_wave(graph, keys, seeds, nums):
             # vmapped over the sampler axis: one batch per sampler chip.
@@ -292,6 +296,7 @@ class FactoredEngine(_EngineBase):
         self.feat_on_trainer = feat_on_trainer
         repl_t = self.roles.trainer_replicated
         shard_t = self.roles.trainer_sharding
+        t_copy = Timer()
         if feat_on_trainer:
             import ml_dtypes
 
@@ -307,6 +312,8 @@ class FactoredEngine(_EngineBase):
                     np.asarray(self.cache.cache_data), repl_t
                 )
         self.label_t = jax.device_put(np.asarray(ds.label), repl_t)
+        force_done(self.label_t)
+        copy_s += t_copy.passed()
 
         # init params on trainer mesh
         self._cur_epoch = 0
@@ -336,7 +343,8 @@ class FactoredEngine(_EngineBase):
                 state_h, last_epoch = restored
                 self.state = jax.device_put(state_h, repl_t)
                 self.start_epoch = last_epoch + 1
-        prof.log_init("init_other", t0.passed())
+        prof.log_init("init_copy", copy_s)
+        prof.log_init("init_other", max(0.0, t0.passed() - copy_s))
         log.info(
             "FactoredEngine: %d samplers + %d trainers, %d steps/epoch, "
             "cache=%s feat_on_trainer=%s",

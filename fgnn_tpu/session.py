@@ -66,6 +66,9 @@ class _Session:
 
     def data_init(self) -> None:
         assert self.cfg is not None, "call config() first"
+        from .utils import Timer
+
+        t_load = Timer()
         if self.cfg.dataset == "synthetic":
             self.ds = make_synthetic_dataset(
                 num_node=int(self._extra.get("synthetic_nodes", 100_000)),
@@ -80,7 +83,10 @@ class _Session:
             from .data.synthetic import build_alias_tables
 
             build_alias_tables(self.ds, seed=self.cfg.seed)
-        Profiler.get().log_init("init_load_dataset", 0.0)
+        # Real wall-clock for the load (+ alias-table build when the dataset
+        # ships without one) — kLogInitL1LoadDataset analog (profiler.h:30-57,
+        # engine.cc LoadGraphDataset timing).
+        Profiler.get().log_init("init_load_dataset", t_load.passed())
 
     # -- sample_init / train_init (role setup) ---------------------------
     def sample_init(self, worker_id: int = 0, ctx: Optional[str] = None) -> None:

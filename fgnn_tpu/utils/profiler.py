@@ -62,7 +62,7 @@ EPOCH_ITEMS = [
 ]
 
 INIT_ITEMS = [
-    "init_load_dataset", "init_presample", "init_build_cache",
+    "init_load_dataset", "init_copy", "init_presample", "init_build_cache",
     "init_compile", "init_other",
 ]
 

