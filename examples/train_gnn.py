@@ -134,6 +134,10 @@ def main():
     log_test_result("init:load_dataset", f"{prof.get_init_value('init_load_dataset'):.4f}")
     log_test_result("init:copy", f"{prof.get_init_value('init_copy'):.4f}")
     log_test_result("init:build_cache", f"{prof.get_init_value('init_build_cache'):.4f}")
+    if prof.trace_enabled:
+        # samgraph_dump_trace analog (SAMGRAPH_DUMP_TRACE flow)
+        import os
+        prof.dump_trace(os.environ.get("FGNN_TPU_TRACE_PATH", "trace.json"))
 
 
 if __name__ == "__main__":

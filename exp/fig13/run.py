@@ -77,6 +77,35 @@ def main():
                 os.path.join(HERE, "fig13.dat"))
     write_json(results, os.path.join(HERE, "fig13.json"))
 
+    # --- timeline lanes: a traced run whose dump carries the reference's
+    # 19 typed step events (profiler.h:142-176). Consumed here into a
+    # per-lane summary table (fig13_lanes.dat) + the raw chrome trace.
+    trace_path = os.path.join(HERE, "fig13_trace.json")
+    tenv = dict(env)
+    tenv["FGNN_TPU_DUMP_TRACE"] = "1"
+    tenv["FGNN_TPU_TRACE_PATH"] = trace_path
+    print("[fig13] traced run (19-lane timeline)", flush=True)
+    run_app(base + ["--arch", "arch1", "--no-pipeline",
+                    "--profile-level", "3",
+                    "--num-epoch", "2"],
+            os.path.join(HERE, "run-logs"), "arch1-trace", env=tenv)
+    import json
+    ev = [e for e in json.load(open(trace_path))["traceEvents"]
+          if e.get("ph") == "X"]
+    lanes = {}
+    for e in ev:
+        s = lanes.setdefault(e["name"], [0, 0.0])
+        s[0] += 1
+        s[1] += e["dur"] / 1e6
+    from fgnn_tpu.utils.profiler import TRACE_ITEMS
+    with open(os.path.join(HERE, "fig13_lanes.dat"), "w") as f:
+        f.write("lane\tcount\ttotal_s\tmean_ms\n")
+        for name in TRACE_ITEMS:
+            c, tot = lanes.get(name, [0, 0.0])
+            mean = tot / c * 1e3 if c else 0.0
+            f.write(f"{name}\t{c}\t{tot:.4f}\t{mean:.3f}\n")
+    print(f"[fig13] lanes -> fig13_lanes.dat ({len(ev)} events)", flush=True)
+
     # headline: overlap factor per arch
     by = {r.config["case"]: r for r in results}
     for arch in ("arch1", "arch5"):

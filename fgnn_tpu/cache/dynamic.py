@@ -11,10 +11,16 @@ previous batch's (sorted ids, permutation, features) all device-resident;
 membership is a searchsorted against the sorted ids (replacing the
 rebuilt GPU hashtable), and the combine is gather-only like the static
 manager.
+
+Prefetch pipeline (the reference's DoGPUSampleDyCache early-enqueue,
+cuda_loops_arch4.cc:69-73): the miss SPLIT of batch k+1 depends only on
+batch k's *ids* — not its features — so ``split_and_advance`` advances
+the id-state eagerly and the host miss gather of batch k+1 can run while
+batch k trains. ``combine`` then fills in the feature half of the state.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +37,17 @@ class DynCacheState:
     feats: jnp.ndarray        # [cap, F] previous batch's features
 
 
+class DynSplit(NamedTuple):
+    """One batch's hit/miss classification vs the previous batch."""
+
+    input_nodes: jnp.ndarray
+    hit: jnp.ndarray
+    cache_row: jnp.ndarray
+    rank: jnp.ndarray
+    miss_ids: jnp.ndarray
+    num_miss: jnp.ndarray
+
+
 def init_state(cap: int, feat_dim: int) -> DynCacheState:
     return DynCacheState(
         ids_sorted=jnp.full((cap,), INT_MAX, jnp.int32),
@@ -39,19 +56,23 @@ def init_state(cap: int, feat_dim: int) -> DynCacheState:
     )
 
 
-def split_hits(
-    state: DynCacheState, input_nodes: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Jittable hit/miss split vs the previous batch.
-
-    Returns (hit mask [cap], cache_row [cap], miss_ids [cap] misses
-    compacted to the front, rank [cap], num_miss).
-    """
-    cap = state.ids_sorted.shape[0]
+def ids_from(input_nodes: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The id half of the next cache state — available as soon as the
+    batch is sampled, before its features exist."""
     q = jnp.where(input_nodes < 0, INT_MAX, input_nodes)
-    p = jnp.clip(jnp.searchsorted(state.ids_sorted, q), 0, cap - 1)
-    hit = (state.ids_sorted[p] == q) & (q != INT_MAX)
-    cache_row = jnp.where(hit, state.row[p], 0)
+    order = jnp.argsort(q)
+    return q[order], order.astype(jnp.int32)
+
+
+def split_hits(
+    ids_sorted: jnp.ndarray, row: jnp.ndarray, input_nodes: jnp.ndarray
+) -> DynSplit:
+    """Jittable hit/miss split vs the previous batch's ids."""
+    cap = ids_sorted.shape[0]
+    q = jnp.where(input_nodes < 0, INT_MAX, input_nodes)
+    p = jnp.clip(jnp.searchsorted(ids_sorted, q), 0, cap - 1)
+    hit = (ids_sorted[p] == q) & (q != INT_MAX)
+    cache_row = jnp.where(hit, row[p], 0)
 
     valid = input_nodes >= 0
     miss = valid & ~hit
@@ -59,38 +80,40 @@ def split_hits(
     order = jnp.argsort(sort_key, stable=True)
     rank = jnp.argsort(order, stable=True).astype(jnp.int32)
     miss_ids = jnp.where(sort_key[order] == 0, input_nodes[order], -1)
-    return hit, cache_row, miss_ids.astype(jnp.int32), rank, jnp.sum(miss)
-
-
-def combine_and_update(
-    state: DynCacheState,
-    input_nodes: jnp.ndarray,
-    hit: jnp.ndarray,
-    cache_row: jnp.ndarray,
-    rank: jnp.ndarray,
-    miss_feat: jnp.ndarray,
-) -> Tuple[jnp.ndarray, DynCacheState]:
-    """Combine hit/miss features and replace the cache with this batch
-    (ReplaceCacheGPU analog) — one fused jittable step."""
-    cache_part = jnp.take(state.feats, cache_row, axis=0, mode="clip")
-    miss_part = jnp.take(miss_feat, rank, axis=0, mode="clip")
-    out = jnp.where(hit[:, None], cache_part, miss_part)
-    out = jnp.where((input_nodes >= 0)[:, None], out, 0)
-
-    # new cache = this batch
-    q = jnp.where(input_nodes < 0, INT_MAX, input_nodes)
-    order = jnp.argsort(q)
-    new_state = DynCacheState(
-        ids_sorted=q[order],
-        row=order.astype(jnp.int32),
-        feats=out,
+    return DynSplit(
+        input_nodes=input_nodes,
+        hit=hit,
+        cache_row=cache_row,
+        rank=rank,
+        miss_ids=miss_ids.astype(jnp.int32),
+        num_miss=jnp.sum(miss),
     )
-    return out, new_state
+
+
+def combine_feats(
+    prev_feats: jnp.ndarray,
+    split: DynSplit,
+    miss_feat: jnp.ndarray,
+) -> jnp.ndarray:
+    """Combine hit rows (from the previous batch's features) with the
+    host-gathered miss rows — one fused gather program
+    (DoDynamicCacheFeatureCopy + ReplaceCacheGPU analog). The result IS
+    the next state's feature half (input order, matching ids_from's row)."""
+    cache_part = jnp.take(prev_feats, split.cache_row, axis=0, mode="clip")
+    miss_part = jnp.take(miss_feat, split.rank, axis=0, mode="clip")
+    out = jnp.where(split.hit[:, None], cache_part, miss_part)
+    return jnp.where((split.input_nodes >= 0)[:, None], out, 0)
 
 
 class DynamicFeatureCache:
     """Host-side orchestration wrapper (engine-facing API parity with
-    FeatureCache)."""
+    FeatureCache).
+
+    Staged API for the arch4 prefetch pipeline: ``split_and_advance``
+    (device, advances the id-state), ``gather_miss`` (host, thread-safe),
+    ``combine`` (device, advances the feature-state). ``extract`` chains
+    the three synchronously — identical math by construction.
+    """
 
     def __init__(self, feat_host: np.ndarray, cap: int, mod: int = 0):
         self.feat_host = feat_host
@@ -98,31 +121,48 @@ class DynamicFeatureCache:
         self.mod = mod
         self.state = init_state(cap, feat_host.shape[1])
         self._split = jax.jit(split_hits)
-        self._combine = jax.jit(combine_and_update)
+        self._ids_from = jax.jit(ids_from)
+        self._combine = jax.jit(combine_feats)
 
-    def extract(self, input_nodes: jnp.ndarray) -> jnp.ndarray:
+    # -- staged ----------------------------------------------------------
+    def split_and_advance(self, input_nodes: jnp.ndarray) -> DynSplit:
+        """Classify this batch vs the previous batch's ids, then advance
+        the id-state to THIS batch (its features arrive at combine).
+        The next call classifies against this batch — which is what lets
+        the miss gather of batch k+1 overlap the training of batch k."""
+        split = self._split(self.state.ids_sorted, self.state.row,
+                            input_nodes)
+        ids_sorted, row = self._ids_from(input_nodes)
+        self.state = self.state.replace(ids_sorted=ids_sorted, row=row)
+        return split
+
+    def gather_miss(self, miss_ids: np.ndarray, n_miss: int) -> np.ndarray:
+        """Host gather of miss rows (ExtractMissData analog); safe to run
+        on a worker thread — touches no cache state."""
         from .. import native
 
-        hit, cache_row, miss_ids, rank, num_miss = self._split(
-            self.state, input_nodes
-        )
-        n_miss = int(num_miss)
         ids_np = np.asarray(miss_ids)
         if self.mod:
             ids_np = np.where(ids_np >= 0, ids_np % self.mod, ids_np)
         if native.available() and self.feat_host.dtype == np.float32:
-            miss = native.gather_f32(self.feat_host, ids_np, n_real=n_miss)
-        else:
-            miss = np.zeros(
-                (len(ids_np), self.feat_host.shape[1]), np.float32
-            )
-            if n_miss:
-                miss[:n_miss] = self.feat_host[
-                    np.maximum(ids_np[:n_miss], 0)
-                ]
-        out, self.state = self._combine(
-            self.state, input_nodes, hit, cache_row, rank, jnp.asarray(miss)
-        )
-        self.last_num_miss = n_miss
-        self.last_num_hit = int(jnp.sum(hit))
+            return native.gather_f32(self.feat_host, ids_np, n_real=n_miss)
+        miss = np.zeros((len(ids_np), self.feat_host.shape[1]), np.float32)
+        if n_miss:
+            miss[:n_miss] = self.feat_host[np.maximum(ids_np[:n_miss], 0)]
+        return miss
+
+    def combine(self, split: DynSplit, miss_feat: jnp.ndarray) -> jnp.ndarray:
+        """Merge hits+misses and install the result as the new cache
+        features (the feature half of the state advanced at split time)."""
+        out = self._combine(self.state.feats, split, miss_feat)
+        self.state = self.state.replace(feats=out)
+        self.last_num_miss = int(split.num_miss)
+        self.last_num_hit = int(jnp.sum(split.hit))
         return out
+
+    # -- synchronous (engine fallback + tests) -----------------------------
+    def extract(self, input_nodes: jnp.ndarray) -> jnp.ndarray:
+        split = self.split_and_advance(input_nodes)
+        n_miss = int(split.num_miss)
+        miss = self.gather_miss(np.asarray(split.miss_ids), n_miss)
+        return self.combine(split, jnp.asarray(miss))

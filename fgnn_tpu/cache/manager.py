@@ -164,7 +164,7 @@ class FeatureCache:
         return out
 
     def upload_miss(self, index: MissCacheIndex, num_miss=None,
-                    device=None):
+                    device=None, trace_key=None):
         """Bucketed miss upload: fetch only a power-of-2 slice of the miss
         ids, host-gather, and H2D that bucket — NOT the full unique cap.
         At papers100M caps the cap-padded upload is ~230MB/step while the
@@ -182,10 +182,24 @@ class FeatureCache:
         while b < num_miss:
             b *= 2
         b = min(b, cap)
+        prof = Profiler.get()
+        tracing = trace_key is not None and prof.trace_enabled
+        t = Timer() if tracing else None
         ids = np.asarray(index.miss_ids[:b])
         miss = self.host_extract_miss(ids, num_miss)
+        if tracing:
+            # host gather of the miss rows (ExtractMissData analog)
+            prof.trace_event(trace_key, "kL3Event_Copy_CacheCopy_ExtractMiss",
+                             t._start * 1e6, Timer.now_us())
+            t.reset()
         out = (jax.device_put(miss, device) if device is not None
                else jax.device_put(miss))
+        if tracing:
+            from ..utils import force_done
+
+            force_done(out)
+            prof.trace_event(trace_key, "kL3Event_Copy_CacheCopy_CopyMiss",
+                             t._start * 1e6, Timer.now_us())
         return out, num_miss
 
     def hit_rate(self, index: MissCacheIndex) -> float:

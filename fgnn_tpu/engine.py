@@ -530,8 +530,12 @@ class OneChipEngine:
             force_done(valid)
             dt = t.passed()
             prof.log_step_add(skey, "L3_khop_sample_coo_time", dt)
+            if prof.trace_enabled:
+                prof.trace_event(skey, "kL2Event_Sample_Core",
+                                 t._start * 1e6, Timer.now_us())
             core += dt
             t.reset()
+            u_start = t._start
             unique, nu, _ovf = uniq[hop](cur, num_cur, nbrs)
             force_done(nu)
             du = t.passed()
@@ -542,6 +546,9 @@ class OneChipEngine:
             dm = t.passed()
             prof.log_step_add(skey, "L3_remap_map_edge_time", dm)
             remap_t += du + dm
+            if prof.trace_enabled:
+                prof.trace_event(skey, "kL2Event_Sample_IdRemap",
+                                 u_start * 1e6, Timer.now_us())
             cur, num_cur = unique, nu
         prof.log_step(skey, "L2_core_sample_time", core)
         prof.log_step(skey, "L2_id_remap_time", remap_t)
@@ -635,6 +642,20 @@ class OneChipEngine:
         ):
             return self._run_epoch_split_pipelined(epoch)
 
+        # arch4 prefetch pipeline: the miss gather of batch k+1 (its split
+        # depends only on batch k's IDS, not its features) overlaps the
+        # training of batch k — the reference's DoGPUSampleDyCache
+        # early-enqueue (cuda_loops_arch4.cc:69-73, cuda_loops.cc:269-498)
+        if (
+            self.dyn_cache is not None
+            and cfg.pipeline
+            and self.sanity is None
+            and cfg.profile_level < 2
+            and not prof.log_node_access
+            and not prof.trace_enabled
+        ):
+            return self._run_epoch_dyncache_pipelined(epoch)
+
         losses, accs = [], []
         num_inputs = []
         ovfs = []
@@ -659,9 +680,10 @@ class OneChipEngine:
                 )
                 ovfs.append(ovf)
                 if prof.trace_enabled:
-                    # force completion so the event reflects device time
+                    # force completion so the event reflects device time;
+                    # the fused program IS the whole step (one lane)
                     _ = float(loss)
-                    prof.trace_event(skey, "train_fused",
+                    prof.trace_event(skey, "kL0Event_Train_Step",
                                      t._start * 1e6, Timer.now_us())
                 losses.append(loss)
                 accs.append(acc)
@@ -683,6 +705,9 @@ class OneChipEngine:
                 if cfg.profile_level >= 2:
                     # DoShuffle analog: batch-slice H2D upload time
                     prof.log_step(skey, "L2_shuffle_time", t.passed())
+                if prof.trace_enabled:
+                    prof.trace_event(skey, "kL2Event_Sample_Shuffle",
+                                     t._start * 1e6, Timer.now_us())
                 if cfg.profile_level >= 3:
                     self._profile_l3(key, seeds_dev, n, skey)
                     t.reset()  # L1 spans exclude measurement re-runs
@@ -704,13 +729,16 @@ class OneChipEngine:
                         # DoIdCopy analog: input-ids D2H (includes waiting
                         # out the in-flight sample program)
                         prof.log_step(skey, "L2_id_copy_time", tid.passed())
+                    if prof.trace_enabled:
+                        prof.trace_event(skey, "kL2Event_Copy_Id",
+                                         tid._start * 1e6, Timer.now_us())
                 elif cfg.profile_level >= 2:
                     force_done(batch.num_input)
                 st = t.passed()
                 prof.log_step(skey, "L1_sample_time", st)
                 prof.log_epoch_add(epoch, "epoch_sample_time", st)
                 if prof.trace_enabled:
-                    prof.trace_event(skey, "sample", t._start * 1e6,
+                    prof.trace_event(skey, "kL1Event_Sample", t._start * 1e6,
                                      Timer.now_us())
                 t.reset()
                 et = 0.0  # Extract portion of the copy stage (table1 split)
@@ -719,6 +747,10 @@ class OneChipEngine:
                     if cfg.profile_level >= 2:
                         force_done(feats)
                         prof.log_step(skey, "L2_extract_time", t.passed())
+                    if prof.trace_enabled:
+                        force_done(feats)
+                        prof.trace_event(skey, "kL2Event_Copy_Extract",
+                                         t._start * 1e6, Timer.now_us())
                     prof.log_epoch_add(epoch, "epoch_extract_time",
                                        t.passed())
                 elif self.dyn_cache is not None:
@@ -739,6 +771,7 @@ class OneChipEngine:
                     # boundaries emit the reference's L3 CacheCopy trace
                     # events (profiler.h:153-159)
                     lvl2 = cfg.profile_level >= 2
+                    t_cc = Timer()  # kL2Event_Copy_CacheCopy umbrella
                     tc = Timer()
                     index = self.cache.get_miss_cache_index(batch.input_nodes)
                     num_miss = int(index.num_miss)  # syncs the split
@@ -748,18 +781,17 @@ class OneChipEngine:
                         prof.log_step(skey, "L2_cache_get_index_time",
                                       t_idx)
                     if prof.trace_enabled:
-                        prof.trace_event(skey, "cache_get_index",
+                        prof.trace_event(skey,
+                                         "kL3Event_Copy_CacheCopy_GetIndex",
                                          tc._start * 1e6, Timer.now_us())
                     tc.reset()
-                    miss_t, _ = self.cache.upload_miss(index, num_miss)
+                    miss_t, _ = self.cache.upload_miss(index, num_miss,
+                                                       trace_key=skey)
                     t_miss = tc.passed()
                     et += t_miss
                     if lvl2:
                         prof.log_step(skey, "L2_cache_extract_miss_time",
                                       t_miss)
-                    if prof.trace_enabled:
-                        prof.trace_event(skey, "cache_extract_miss",
-                                         tc._start * 1e6, Timer.now_us())
                     tc.reset()
                     feats = self.cache.combine(index, miss_t)
                     if lvl2 or prof.trace_enabled:
@@ -770,8 +802,13 @@ class OneChipEngine:
                         prof.log_step(skey, "L2_cache_combine_miss_time",
                                       tc.passed())
                     if prof.trace_enabled:
-                        prof.trace_event(skey, "cache_copy_combine",
+                        # ONE combine program covers both reference lanes
+                        # (CombineMiss + CombineCache); emitted on the first
+                        prof.trace_event(skey,
+                                         "kL3Event_Copy_CacheCopy_CombineMiss",
                                          tc._start * 1e6, Timer.now_us())
+                        prof.trace_event(skey, "kL2Event_Copy_CacheCopy",
+                                         t_cc._start * 1e6, Timer.now_us())
                     itm = miss_t.dtype.itemsize
                     prof.log_step(
                         skey, "L1_miss_nbytes",
@@ -792,11 +829,18 @@ class OneChipEngine:
                     et += th.passed()
                     if cfg.profile_level >= 2:
                         prof.log_step(skey, "L2_extract_time", th.passed())
+                    if prof.trace_enabled:
+                        prof.trace_event(skey, "kL2Event_Copy_Extract",
+                                         th._start * 1e6, Timer.now_us())
                     th.reset()
                     feats = jnp.asarray(feats_h)
                     if cfg.profile_level >= 2:
                         force_done(feats)
                         prof.log_step(skey, "L2_feat_copy_time", th.passed())
+                    if prof.trace_enabled:
+                        force_done(feats)
+                        prof.trace_event(skey, "kL2Event_Copy_FeatCopy",
+                                         th._start * 1e6, Timer.now_us())
                 ct = t.passed()
                 prof.log_step(skey, "L1_copy_time", ct)
                 if not self.feat_on_device:
@@ -806,7 +850,7 @@ class OneChipEngine:
                     prof.log_epoch_add(epoch, "epoch_copy_time",
                                        max(ct - et, 0.0))
                 if prof.trace_enabled:
-                    prof.trace_event(skey, "extract_copy", t._start * 1e6,
+                    prof.trace_event(skey, "kL1Event_Copy", t._start * 1e6,
                                      Timer.now_us())
                 prof.log_step(
                     skey, "L1_feature_bytes",
@@ -824,10 +868,10 @@ class OneChipEngine:
                 prof.log_epoch_add(epoch, "epoch_train_time", t.passed())
                 if prof.trace_enabled:
                     _ = float(loss)
-                    prof.trace_event(skey, "train", t._start * 1e6,
+                    prof.trace_event(skey, "kL1Event_Train", t._start * 1e6,
                                      Timer.now_us())
-                    prof.trace_event(skey, "train_step", t_step._start * 1e6,
-                                     Timer.now_us())
+                    prof.trace_event(skey, "kL0Event_Train_Step",
+                                     t_step._start * 1e6, Timer.now_us())
                 if prof.log_node_access and in_nodes is not None:
                     prof.log_node_access_batch(in_nodes)
         # one device sync at epoch end — losses force completion
@@ -853,6 +897,90 @@ class OneChipEngine:
             "acc": float(np.mean(accs)) if accs else 0.0,
             "num_step": self.shuffler.num_step,
             "sampled_edges": sampled_edges,
+        }
+
+    def _run_epoch_dyncache_pipelined(self, epoch: int) -> dict:
+        """arch4 epoch with the prefetch pipeline: stage A (sample batch
+        k+1 + split vs batch k's ids + host miss gather on a worker
+        thread) overlaps stage B (combine + train of batch k). Identical
+        math to the synchronous ``dyn_cache.extract`` path — the split of
+        batch k+1 never needs batch k's features, only its ids
+        (tests/test_dynamic_cache.py pins the equality)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        cfg = self.cfg
+        prof = Profiler.get()
+        t_epoch = Timer()
+        base = jax.random.key(cfg.seed)
+        steps = list(self.shuffler.batches(epoch))
+        losses, accs, ovfs = [], [], []
+        dc = self.dyn_cache
+        fdim = self.ds.feat.shape[1]
+        ex = ThreadPoolExecutor(max_workers=2)
+        try:
+            def stage_a(item):
+                seeds, n, step = item
+                key = jax.random.fold_in(
+                    base, epoch * self.shuffler.num_step + step
+                )
+                batch = self.sample_jit(key, jnp.asarray(seeds),
+                                        jnp.int32(n),
+                                        dedup=self._train_dedup)
+                ovfs.append(batch.overflowed)
+                split = dc.split_and_advance(batch.input_nodes)
+                n_miss = int(split.num_miss)   # syncs the split
+                ids_np = np.asarray(split.miss_ids)
+                fut = ex.submit(
+                    lambda: jnp.asarray(dc.gather_miss(ids_np, n_miss))
+                )
+                return key, batch, split, n_miss, fut
+
+            pending = stage_a(steps[0])
+            for i in range(len(steps)):
+                key, batch, split, n_miss, fut = pending
+                if i + 1 < len(steps):
+                    # launches batch k+1's host miss gather — it runs on
+                    # the worker thread while batch k trains below
+                    pending = stage_a(steps[i + 1])
+                feats = dc.combine(split, fut.result())
+                self.state, loss, acc = self.train_jit(
+                    self.state, key, batch, feats
+                )
+                losses.append(loss)
+                accs.append(acc)
+                skey = prof.step_key(epoch, steps[i][2])
+                prof.log_step(skey, "L1_miss_nbytes",
+                              float(n_miss * fdim * 4))
+                prof.log_epoch_add(epoch, "epoch_miss_bytes",
+                                   float(n_miss * fdim * 4))
+                prof.log_epoch_add(
+                    epoch, "epoch_feature_bytes",
+                    float((n_miss + dc.last_num_hit) * fdim * 4),
+                )
+        finally:
+            ex.shutdown(wait=True)
+
+        losses = [float(x) for x in losses]
+        accs = [float(x) for x in accs]
+        if ovfs:
+            self._surface_overflow(
+                epoch, bool(np.any(np.asarray(jnp.stack(ovfs))))
+            )
+        epoch_time = t_epoch.passed()
+        prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)
+        if (
+            self.ckpt is not None
+            and cfg.ckpt_every > 0
+            and (epoch + 1) % cfg.ckpt_every == 0
+        ):
+            self.ckpt.save(epoch, self.state)
+        return {
+            "epoch": epoch,
+            "epoch_time": epoch_time,
+            "loss": float(np.mean(losses)) if losses else 0.0,
+            "acc": float(np.mean(accs)) if accs else 0.0,
+            "num_step": self.shuffler.num_step,
+            "sampled_edges": 0,
         }
 
     def _run_epoch_split_pipelined(self, epoch: int) -> dict:

@@ -290,11 +290,17 @@ def lookup_local_ids(
     hit_seed = sorted_seeds[p_c] == q
     local_seed = order[p_c].astype(jnp.int32)
 
-    # appended region is ascending already
-    p2 = jnp.searchsorted(rest, q)
-    p2_c = jnp.minimum(p2, rest.shape[0] - 1)
-    hit_rest = rest[p2_c] == q
-    local_rest = (S + p2_c).astype(jnp.int32)
+    # appended region is ascending already. It is statically EMPTY when
+    # the unique cap equals the seed cap (last-hop plans clamped at
+    # num_node) — skip the search, nothing can hit there.
+    if rest.shape[0]:
+        p2 = jnp.searchsorted(rest, q)
+        p2_c = jnp.minimum(p2, rest.shape[0] - 1)
+        hit_rest = rest[p2_c] == q
+        local_rest = (S + p2_c).astype(jnp.int32)
+    else:
+        hit_rest = jnp.zeros(q.shape, dtype=bool)
+        local_rest = jnp.full(q.shape, -1, dtype=jnp.int32)
 
     local = jnp.where(hit_seed, local_seed, jnp.where(hit_rest, local_rest, -1))
     return jnp.where(q == INT_MAX, -1, local)

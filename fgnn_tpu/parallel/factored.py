@@ -485,7 +485,7 @@ class FactoredEngine(_EngineBase):
                 prof.log_epoch_add(epoch, "epoch_sample_time", t.passed())
                 if prof.trace_enabled:
                     prof.trace_event(len(wave_ovfs) + len(in_flight),
-                                     "sample_wave", t._start * 1e6,
+                                     "kL1Event_Sample", t._start * 1e6,
                                      Timer.now_us())
             in_flight.append(
                 (wave, idx, len([1 for n in nums_l if int(n) > 0]))
@@ -507,7 +507,7 @@ class FactoredEngine(_EngineBase):
                 prof.log_step(prof.step_key(epoch, len(wave_ovfs) - 1),
                               "L2_graph_copy_time", t.passed())
                 if prof.trace_enabled:
-                    prof.trace_event(len(wave_ovfs), "queue_copy",
+                    prof.trace_event(len(wave_ovfs), "kL2Event_Copy_Graph",
                                      t._start * 1e6, Timer.now_us())
             for i in range(n_real):
                 b = jax.tree.map(lambda a: a[i], wave_t)
@@ -657,7 +657,7 @@ class FactoredEngine(_EngineBase):
             prof.log_epoch_add(self._cur_epoch, "epoch_extract_time",
                                t.passed())
             if prof.trace_enabled:
-                prof.trace_event(int(state.step), "extract",
+                prof.trace_event(int(state.step), "kL1Event_Copy",
                                  t._start * 1e6, Timer.now_us())
             t.reset()
         keys = jax.random.split(key, group_size)
@@ -667,7 +667,7 @@ class FactoredEngine(_EngineBase):
             prof.log_epoch_add(self._cur_epoch, "epoch_train_time",
                                t.passed())
             if prof.trace_enabled:
-                prof.trace_event(int(out[0].step), "train_wave",
+                prof.trace_event(int(out[0].step), "kL1Event_Train",
                                  t._start * 1e6, Timer.now_us())
         return out
 
@@ -973,7 +973,7 @@ class SGNNEngine(_EngineBase):
             skey = prof.step_key(epoch, local)
             prof.log_step(skey, "L1_sample_time", t.passed())
             if prof.trace_enabled:
-                prof.trace_event(skey, "sample_wave", t._start * 1e6,
+                prof.trace_event(skey, "kL1Event_Sample", t._start * 1e6,
                                  Timer.now_us())
             ovfs.append(wave.overflowed)
             t.reset()
@@ -982,7 +982,7 @@ class SGNNEngine(_EngineBase):
             prof.log_epoch_add(epoch, "epoch_extract_time", t.passed())
             prof.log_step(skey, "L1_copy_time", t.passed())
             if prof.trace_enabled:
-                prof.trace_event(skey, "extract", t._start * 1e6,
+                prof.trace_event(skey, "kL1Event_Copy", t._start * 1e6,
                                  Timer.now_us())
             t.reset()
             self.state, loss, acc = self._p_train_g(
@@ -993,7 +993,7 @@ class SGNNEngine(_EngineBase):
             prof.log_epoch_add(epoch, "epoch_train_time", t.passed())
             prof.log_step(skey, "L1_train_time", t.passed())
             if prof.trace_enabled:
-                prof.trace_event(skey, "train_wave", t._start * 1e6,
+                prof.trace_event(skey, "kL1Event_Train", t._start * 1e6,
                                  Timer.now_us())
             losses.append(float(loss))
             accs.append(float(acc))

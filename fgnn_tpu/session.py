@@ -198,8 +198,8 @@ class _Session:
         ct = t_conv.passed()
         prof.log_step(batch_key, "L1_convert_time", ct)
         if prof.trace_enabled:
-            prof.trace_event(batch_key, "convert", t_conv._start * 1e6,
-                             Timer.now_us())
+            prof.trace_event(batch_key, "kL1Event_Convert",
+                             t_conv._start * 1e6, Timer.now_us())
         return batch.blocks, feats, labels
 
     def get_graph_num_src(self, batch_key: int, layer: int) -> int:

@@ -66,6 +66,39 @@ INIT_ITEMS = [
     "init_compile", "init_other",
 ]
 
+# The reference's 19 typed step-trace lanes (TRACE_TYPES macro,
+# profiler.h:142-176), names kept verbatim so a reference timeline
+# consumer sees the same lanes. Where this design fuses two reference
+# kernel pipelines into one XLA program the span is emitted on the FIRST
+# lane of the pair and the second lane is structurally empty:
+#   kL3Event_Copy_CacheCopy_CombineMiss carries the fused miss+cache
+#     combine (FeatureCache.combine is ONE gather program — the
+#     CombineCache scatter does not exist separately);
+#   kL3Event_Copy_CacheCopy_CopyIndex is empty on single-chip archs (the
+#     index never leaves the device); in arch5 the index rides the wave
+#     transfer emitted on kL2Event_Copy_Graph.
+TRACE_ITEMS = [
+    "kL0Event_Train_Step",
+    "kL1Event_Sample",
+    "kL2Event_Sample_Shuffle",
+    "kL2Event_Sample_Core",
+    "kL2Event_Sample_IdRemap",
+    "kL1Event_Copy",
+    "kL2Event_Copy_Id",
+    "kL2Event_Copy_Graph",
+    "kL2Event_Copy_Extract",
+    "kL2Event_Copy_FeatCopy",
+    "kL2Event_Copy_CacheCopy",
+    "kL3Event_Copy_CacheCopy_GetIndex",
+    "kL3Event_Copy_CacheCopy_CopyIndex",
+    "kL3Event_Copy_CacheCopy_ExtractMiss",
+    "kL3Event_Copy_CacheCopy_CopyMiss",
+    "kL3Event_Copy_CacheCopy_CombineMiss",
+    "kL3Event_Copy_CacheCopy_CombineCache",
+    "kL1Event_Convert",
+    "kL1Event_Train",
+]
+
 
 class Profiler:
     """Per-process profiler. ``Profiler.get()`` mirrors Profiler::Get()."""
@@ -241,16 +274,42 @@ class Profiler:
         return _scope()
 
     def dump_trace(self, path: str) -> None:
-        """Chrome trace-event JSON (samgraph_dump_trace analog)."""
+        """Chrome trace-event JSON (samgraph_dump_trace analog).
+
+        Each of the 19 reference lanes (TRACE_ITEMS) gets its own named
+        thread row; names outside the taxonomy (wave-level events from the
+        factored engines) get rows after them."""
+        lanes = list(TRACE_ITEMS)
+        for e in self._trace:
+            if e["name"] not in lanes:
+                lanes.append(e["name"])
+        tid = {name: i for i, name in enumerate(lanes)}
+        # thread_name metadata makes the lanes named in chrome://tracing
         events = [
             {
+                "name": "thread_name", "ph": "M", "pid": 0, "tid": i,
+                "args": {"name": name},
+            }
+            for name, i in tid.items()
+        ]
+        events += [
+            {
                 "name": e["name"], "ph": "X", "ts": e["ts"], "dur": e["dur"],
-                "pid": 0, "tid": e["key"] % 64, "args": {"key": e["key"]},
+                "pid": 0, "tid": tid[e["name"]], "args": {"key": e["key"]},
             }
             for e in self._trace
         ]
         with open(path, "w") as f:
             json.dump({"traceEvents": events}, f)
+
+    def lane_summary(self) -> Dict[str, dict]:
+        """Per-lane event count / total seconds — the fig-timeline table."""
+        out: Dict[str, dict] = {}
+        for e in self._trace:
+            s = out.setdefault(e["name"], {"count": 0, "total_s": 0.0})
+            s["count"] += 1
+            s["total_s"] += e["dur"] / 1e6
+        return out
 
     # -- readers -----------------------------------------------------------
     def get_step_value(self, key: int, item: str) -> float:

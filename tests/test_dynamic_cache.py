@@ -33,3 +33,31 @@ def test_dynamic_cache_correct_and_hits():
         np.testing.assert_allclose(out2[i], feat[g], rtol=1e-6)
     assert cache.last_num_hit == 20
     assert cache.last_num_miss == 25
+
+
+def test_dyncache_pipelined_bit_identical(small_ds, monkeypatch):
+    """arch4 prefetch pipeline (miss gather of batch k+1 under train of
+    batch k) is a SCHEDULING change: losses and final params must equal
+    the synchronous extract path exactly."""
+    import jax
+    from fgnn_tpu.config import CachePolicy, RunConfig, SampleType
+    from fgnn_tpu.engine import OneChipEngine
+
+    monkeypatch.setenv("FGNN_TPU_FEAT_HBM_BUDGET", "0")
+
+    def run(pipeline):
+        cfg = RunConfig(model="graphsage", fanout=(3, 5), batch_size=64,
+                        num_hidden=32, sample_type=SampleType.KHOP0,
+                        dropout=0.0, num_epoch=2, pipeline=pipeline,
+                        cache_policy=CachePolicy.DYNAMIC_CACHE,
+                        cache_percentage=0.1)
+        eng = OneChipEngine(cfg, small_ds)
+        assert eng.dyn_cache is not None
+        stats = [eng.run_epoch(e) for e in range(2)]
+        return stats, jax.tree.map(np.asarray, eng.state.params)
+
+    s_pipe, p_pipe = run(True)
+    s_sync, p_sync = run(False)
+    for a, b in zip(s_pipe, s_sync):
+        assert a["loss"] == b["loss"], (a, b)
+    jax.tree.map(np.testing.assert_array_equal, p_pipe, p_sync)

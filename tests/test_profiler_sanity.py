@@ -30,8 +30,13 @@ def test_trace_dump(tmp_path):
     out = tmp_path / "trace.json"
     p.dump_trace(str(out))
     data = json.loads(out.read_text())
-    assert len(data["traceEvents"]) == 2
-    assert data["traceEvents"][0]["ph"] == "X"
+    xev = [e for e in data["traceEvents"] if e.get("ph") == "X"]
+    assert len(xev) == 2
+    # every lane (19 reference TRACE_ITEMS + the two ad-hoc names) has a
+    # thread_name metadata row
+    meta = [e for e in data["traceEvents"] if e.get("ph") == "M"]
+    from fgnn_tpu.utils.profiler import TRACE_ITEMS
+    assert len(meta) == len(TRACE_ITEMS) + 2
 
 
 def test_node_access_logging():

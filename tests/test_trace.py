@@ -27,8 +27,8 @@ def test_trace_dump(tmp_path, monkeypatch):
     events = data["traceEvents"]
     assert events, "no trace events recorded"
     names = {e["name"] for e in events}
-    assert "train_fused" in names
-    assert all(e["dur"] >= 0 for e in events)
+    assert "kL0Event_Train_Step" in names
+    assert all(e["dur"] >= 0 for e in events if e.get("ph") == "X")
 
 
 def test_trace_event_taxonomy(tmp_path, monkeypatch):
@@ -54,9 +54,20 @@ def test_trace_event_taxonomy(tmp_path, monkeypatch):
     path = str(tmp_path / "trace2.json")
     p.dump_trace(path)
     names = {e["name"] for e in json.load(open(path))["traceEvents"]}
-    for want in ("train_step", "sample", "train", "cache_get_index",
-                 "cache_extract_miss", "cache_copy_combine"):
+    for want in ("kL0Event_Train_Step", "kL1Event_Sample", "kL1Event_Train",
+                 "kL1Event_Copy", "kL2Event_Copy_CacheCopy",
+                 "kL3Event_Copy_CacheCopy_GetIndex",
+                 "kL3Event_Copy_CacheCopy_ExtractMiss",
+                 "kL3Event_Copy_CacheCopy_CopyMiss",
+                 "kL3Event_Copy_CacheCopy_CombineMiss"):
         assert want in names, (want, names)
+    # every emitted reference-lane name is in the canonical taxonomy and
+    # every lane has a named thread row in the dump
+    from fgnn_tpu.utils.profiler import TRACE_ITEMS
+    assert set(TRACE_ITEMS) >= {n for n in names if n.startswith("k")}
+    meta = {e["args"]["name"] for e in json.load(open(path))["traceEvents"]
+            if e.get("ph") == "M"}
+    assert set(TRACE_ITEMS) <= meta
 
 
 def test_trace_sgnn_waves(tmp_path, monkeypatch):
@@ -76,6 +87,6 @@ def test_trace_sgnn_waves(tmp_path, monkeypatch):
     path = str(tmp_path / "trace3.json")
     Profiler.get().dump_trace(path)
     names = {e["name"] for e in json.load(open(path))["traceEvents"]}
-    for want in ("sample_wave", "extract", "train_wave"):
+    for want in ("kL1Event_Sample", "kL1Event_Copy", "kL1Event_Train"):
         assert want in names, (want, names)
     sam.shutdown()
