@@ -98,6 +98,7 @@ def main():
     steady = epoch_times[1:] or epoch_times
     log_test_result("epoch_time", f"{np.mean(steady):.4f}")
     log_test_result("epoch_time:min", f"{np.min(steady):.4f}")
+    log_test_result("num_step", str(Profiler.get().num_step))
     prof = Profiler.get()
     # stage columns: per-epoch seconds (reference table5 convention);
     # non-zero when --profile-level >= 2 wrote epoch stage items, else

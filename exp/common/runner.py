@@ -95,10 +95,33 @@ def sweep(
     return results
 
 
+def cpu_mesh_meta(n_devices: int) -> Dict[str, str]:
+    """Validity stamp for artifacts produced on the oversubscribed virtual
+    CPU mesh (round-3 verdict Weak #3: fig14/fig15 anti-scaled without
+    annotation and read as hardware results). Attach to every .dat/.json
+    generated with --cpu-mesh."""
+    ncpu = os.cpu_count() or 1
+    return {
+        "mesh": "virtual-oversubscribed",
+        "devices": str(n_devices),
+        "physical_cores": str(ncpu),
+        "validity": (
+            "wall-clock INVALID for absolute/scaling claims: "
+            f"{n_devices} virtual XLA-CPU devices share {ncpu} physical "
+            "cores, so adding 'devices' adds contention, not hardware. "
+            "Use counts, ratios at fixed width, and pred_* columns "
+            "(single-chip-calibrated cost model, exp/common/predict.py)."
+        ),
+    }
+
+
 def write_table(results: List[RunResult], columns: List[str],
-                path: str) -> None:
-    """logtable: one row per run, tab-separated (reference table format)."""
+                path: str, meta: Optional[Dict[str, str]] = None) -> None:
+    """logtable: one row per run, tab-separated (reference table format).
+    ``meta`` rows are written as leading ``# k=v`` comments."""
     with open(path, "w") as f:
+        for k, v in (meta or {}).items():
+            f.write(f"# {k}={v}\n")
         f.write("\t".join(columns) + "\n")
         for r in results:
             row = []
@@ -111,12 +134,12 @@ def write_table(results: List[RunResult], columns: List[str],
     print(f"[exp] wrote {path}")
 
 
-def write_json(results: List[RunResult], path: str) -> None:
+def write_json(results: List[RunResult], path: str,
+               meta: Optional[Dict[str, str]] = None) -> None:
+    rows = [
+        {"config": r.config, "values": r.values, "rc": r.returncode}
+        for r in results
+    ]
+    payload = {"meta": meta, "results": rows} if meta else rows
     with open(path, "w") as f:
-        json.dump(
-            [
-                {"config": r.config, "values": r.values, "rc": r.returncode}
-                for r in results
-            ],
-            f, indent=2,
-        )
+        json.dump(payload, f, indent=2)

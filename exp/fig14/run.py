@@ -15,7 +15,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.predict import annotate_prediction, config_sig
+from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
+                               write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -59,12 +61,22 @@ def main():
             r.config["workers"] = n
             results.append(r)
 
+    # predicted multi-chip epoch from real-chip stage calibration
+    # (exp/common/predict.py; run tools/calibrate_cost_model.py on the
+    # chip first). Raw wall-clock on --cpu-mesh is labeled invalid.
+    sig = config_sig(args.model, args.synthetic_nodes, args.batch_size,
+                     (5, 10, 15),
+                     {"gcn": "khop2", "graphsage": "khop0",
+                      "pinsage": "random_walk"}.get(args.model, "khop2"))
+    annotate_prediction(results, sig)
+    meta = cpu_mesh_meta(max(args.worker_counts)) if args.cpu_mesh else None
     write_table(
         results,
-        ["system", "workers", "epoch_time", "epoch_time:min"],
-        os.path.join(HERE, "fig14.dat"),
+        ["system", "workers", "num_step", "epoch_time", "epoch_time:min",
+         "pred_epoch_time"],
+        os.path.join(HERE, "fig14.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "fig14.json"))
+    write_json(results, os.path.join(HERE, "fig14.json"), meta=meta)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.predict import annotate_prediction, config_sig
+from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
+                               write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -56,12 +58,20 @@ def main():
         r.config["split"] = tag
         results.append(r)
 
+    sig = config_sig(args.model, args.synthetic_nodes, args.batch_size,
+                     (5, 10, 15),
+                     {"gcn": "khop2", "graphsage": "khop0",
+                      "pinsage": "random_walk"}.get(args.model, "khop2"))
+    annotate_prediction(results, sig)
+    meta = (cpu_mesh_meta(max(args.trainer_counts) + 1)
+            if args.cpu_mesh else None)
     write_table(
         results,
-        ["split", "sample_time", "copy_time", "train_time", "epoch_time"],
-        os.path.join(HERE, "fig15.dat"),
+        ["split", "num_step", "sample_time", "copy_time", "train_time",
+         "epoch_time", "pred_epoch_time"],
+        os.path.join(HERE, "fig15.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "fig15.json"))
+    write_json(results, os.path.join(HERE, "fig15.json"), meta=meta)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
+                               write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -84,13 +85,14 @@ def main():
         r.config["variant"] = tag
         results.append(r)
 
+    meta = cpu_mesh_meta(n) if args.cpu_mesh else None
     write_table(
         results,
         ["variant", "epoch_time", "epoch_time:min", "sample_time",
          "train_time"],
-        os.path.join(HERE, "fig17a.dat"),
+        os.path.join(HERE, "fig17a.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "fig17a.json"))
+    write_json(results, os.path.join(HERE, "fig17a.json"), meta=meta)
 
 
 if __name__ == "__main__":

@@ -13,7 +13,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.predict import annotate_prediction, config_sig
+from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
+                               write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -76,11 +78,20 @@ def main():
                     r.values[k] = rp.values[k]
             results.append(r)
 
+    st_map = {"gcn": "khop2", "graphsage": "khop0",
+              "pinsage": "random_walk"}
+    for model in args.models:
+        sig = config_sig(model, args.synthetic_nodes, args.batch_size,
+                         (5, 10, 15), st_map.get(model, "khop2"))
+        annotate_prediction(
+            [r for r in results if r.config["model"] == model], sig)
+    meta = cpu_mesh_meta(8) if args.cpu_mesh else None
     write_table(results,
-                ["model", "run_arch", "epoch_time", "sample_time",
-                 "copy_time", "extract_time", "train_time", "init_time"],
-                os.path.join(HERE, "table4.dat"))
-    write_json(results, os.path.join(HERE, "table4.json"))
+                ["model", "run_arch", "num_step", "epoch_time",
+                 "sample_time", "copy_time", "extract_time", "train_time",
+                 "init_time", "pred_epoch_time"],
+                os.path.join(HERE, "table4.dat"), meta=meta)
+    write_json(results, os.path.join(HERE, "table4.json"), meta=meta)
 
 
 if __name__ == "__main__":

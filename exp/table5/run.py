@@ -13,7 +13,9 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.predict import annotate_prediction, config_sig
+from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
+                               write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -82,11 +84,18 @@ def main():
                 r.values[k] = rp.values[k]
         results.append(r)
 
+    st_map = {"gcn": "khop2", "graphsage": "khop0",
+              "pinsage": "random_walk"}
+    sig = config_sig(args.model, args.synthetic_nodes, args.batch_size,
+                     (5, 10, 15), st_map.get(args.model, "khop2"))
+    annotate_prediction(results, sig)
+    meta = cpu_mesh_meta(args.num_workers) if args.cpu_mesh else None
     write_table(results,
-                ["split", "epoch_time", "sample_time", "copy_time",
-                 "extract_time", "train_time"],
-                os.path.join(HERE, "table5.dat"))
-    write_json(results, os.path.join(HERE, "table5.json"))
+                ["split", "num_step", "epoch_time", "epoch_time:min",
+                 "sample_time", "copy_time", "extract_time", "train_time",
+                 "pred_epoch_time"],
+                os.path.join(HERE, "table5.dat"), meta=meta)
+    write_json(results, os.path.join(HERE, "table5.json"), meta=meta)
 
 
 if __name__ == "__main__":
