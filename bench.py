@@ -146,13 +146,17 @@ def run_child():
     times = []
     edges_per_epoch = 0
     num_step = 0
-    for e in range(1, 4):
-        t0 = time.time()
-        stats = eng.run_epoch(e)
+    # pipelined multi-epoch dispatch (engine.run_epochs): epochs 1-3 are
+    # dispatched back-to-back with ONE stats fetch — the per-epoch fetch
+    # RTT (~95ms over the tunnel) and the seed upload (~33ms) no longer
+    # sit on the wall-clock (round-3 verdict item 1). Identical math.
+    all_stats = eng.run_epochs(1, 3)
+    for stats in all_stats:
         times.append(stats["epoch_time"])
         edges_per_epoch = max(edges_per_epoch, stats.get("sampled_edges", 0))
         num_step = stats.get("num_step", 0)
-        print(f"# epoch {e}: {stats['epoch_time']:.3f}s loss={stats['loss']:.3f} "
+        print(f"# epoch {stats['epoch']}: {stats['epoch_time']:.3f}s "
+              f"loss={stats['loss']:.3f} "
               f"edges={stats.get('sampled_edges', 0)}",
               file=sys.stderr)
 

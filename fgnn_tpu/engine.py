@@ -121,7 +121,7 @@ class OneChipEngine:
             fan_sampling = list(reversed(cfg.fanout))
         caps = calibrate_caps(
             indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
-            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            cfg.batch_size, fan_sampling, seed=cfg.seed,
             replace=(cfg.sample_type == SampleType.KHOP1),
         )
         self.plan = make_plan(
@@ -553,6 +553,116 @@ class OneChipEngine:
         prof.log_step(skey, "L2_core_sample_time", core)
         prof.log_step(skey, "L2_id_remap_time", remap_t)
 
+    # ------------------------------------------------------------------
+    # fused-epoch dispatch helpers
+    # ------------------------------------------------------------------
+    def _epoch_arrays_dev(self, epoch: int):
+        """Device-resident (seeds, nums, nums_host) for an epoch, using a
+        previously prefetched upload when one matches."""
+        pre = getattr(self, "_seed_prefetch", None)
+        if pre is not None and pre[0] == epoch:
+            self._seed_prefetch = None
+            return pre[1], pre[2], pre[3]
+        seeds_all, nums_all = self.shuffler.epoch_arrays(epoch)
+        return jnp.asarray(seeds_all), jnp.asarray(nums_all), nums_all
+
+    def _prefetch_epoch_seeds(self, epoch: int) -> None:
+        """Issue the (async) H2D upload of an epoch's shuffled seed
+        batches ahead of time so the transfer overlaps other host/device
+        work (the reference overlaps its shuffler H2D with training the
+        same way — GPUShuffler copies under the pipeline's streams)."""
+        seeds_all, nums_all = self.shuffler.epoch_arrays(epoch)
+        self._seed_prefetch = (
+            epoch, jax.device_put(seeds_all), jax.device_put(nums_all),
+            nums_all,
+        )
+
+    def _dispatch_fused_epoch(self, epoch: int):
+        """Dispatch one whole fused epoch; returns a DEVICE stats vector
+        [loss, acc, edges, overflow] — no host sync. Callers fetch."""
+        cfg = self.cfg
+        seeds_dev, nums_dev, nums_host = self._epoch_arrays_dev(epoch)
+        epoch_key = jax.random.fold_in(
+            jax.random.key(cfg.seed), 0x10000 + epoch
+        )
+        if os.environ.get("FGNN_TPU_PERSTEP_FUSED", "0") == "1":
+            # Same math as epoch_fused, dispatched one fused step at
+            # a time: async dispatches pipeline over the tunnel at
+            # scan cost (probe_dispatch_cost.py: 41.3 vs 41.0
+            # ms/step; only per-step SYNC pays the ~95ms RTT), and
+            # the per-step program compiles remotely at papers100M
+            # caps where the whole-epoch scan does not (PERF.md).
+            st = self.state
+            ls, as_, es, os_ = [], [], [], []
+            for i in range(nums_host.shape[0]):
+                key = jax.random.fold_in(epoch_key, i)
+                st, l, a, ne, ov = self.fused_step(
+                    st, key, seeds_dev[i], nums_dev[i]
+                )
+                ls.append(l); as_.append(a); es.append(ne)
+                os_.append(ov)
+            self.state = st
+            w = jnp.asarray((np.asarray(nums_host) > 0).astype(np.float32))
+            wsum = jnp.maximum(w.sum(), 1.0)
+            loss = (jnp.stack(ls) * w).sum() / wsum
+            acc = (jnp.stack(as_) * w).sum() / wsum
+            edges = jnp.stack(es).sum()
+            ovf = jnp.stack(os_).any()
+        else:
+            self.state, (loss, acc, edges, ovf) = self.epoch_fused(
+                self.state, epoch_key, seeds_dev, nums_dev,
+            )
+        return jnp.stack([loss, acc, edges.astype(jnp.float32),
+                          ovf.astype(jnp.float32)])
+
+    def run_epochs(self, start_epoch: int, n: int) -> list:
+        """Dispatch ``n`` fused epochs back-to-back with ONE host sync at
+        the end — per-epoch stats fetches (a tunnel RTT each) disappear
+        from the wall-clock. Identical math to ``n`` run_epoch calls
+        (same programs, same keys, same order); per-epoch wall time is
+        reported as total/n since individual boundaries are pipelined.
+        Falls back to sequential run_epoch when the fused path is off."""
+        cfg = self.cfg
+        prof = Profiler.get()
+        fused_ok = (
+            self.fused_step is not None
+            and self.sanity is None
+            and cfg.profile_level < 2
+            and not prof.log_node_access
+            and not prof.trace_enabled
+        )
+        if not fused_ok:
+            return [self.run_epoch(e) for e in range(start_epoch,
+                                                     start_epoch + n)]
+        t = Timer()
+        stats_dev = []
+        for e in range(start_epoch, start_epoch + n):
+            stats_dev.append(self._dispatch_fused_epoch(e))
+            if e + 1 < start_epoch + n:
+                self._prefetch_epoch_seeds(e + 1)
+        stats = np.asarray(jnp.stack(stats_dev))   # the one sync
+        total = t.passed()
+        out = []
+        for i, e in enumerate(range(start_epoch, start_epoch + n)):
+            self._surface_overflow(e, stats[i, 3] > 0)
+            prof.log_epoch_add(e, "epoch_total_time", total / n)
+            out.append({
+                "epoch": e,
+                "epoch_time": total / n,
+                "loss": float(stats[i, 0]),
+                "acc": float(stats[i, 1]),
+                "num_step": self.shuffler.num_step,
+                "sampled_edges": int(stats[i, 2]),
+            })
+        if self.ckpt is not None and cfg.ckpt_every > 0 and any(
+            (e + 1) % cfg.ckpt_every == 0
+            for e in range(start_epoch, start_epoch + n)
+        ):
+            # intermediate states are consumed by the pipelined dispatch;
+            # checkpoint the final state at the last epoch of the window
+            self.ckpt.save(start_epoch + n - 1, self.state)
+        return out
+
     def run_epoch(self, epoch: int) -> dict:
         cfg = self.cfg
         prof = Profiler.get()
@@ -571,46 +681,13 @@ class OneChipEngine:
             and not prof.log_node_access
             and not prof.trace_enabled
         ):
-            seeds_all, nums_all = self.shuffler.epoch_arrays(epoch)
-            epoch_key = jax.random.fold_in(
-                jax.random.key(cfg.seed), 0x10000 + epoch
-            )
-            if os.environ.get("FGNN_TPU_PERSTEP_FUSED", "0") == "1":
-                # Same math as epoch_fused, dispatched one fused step at
-                # a time: async dispatches pipeline over the tunnel at
-                # scan cost (probe_dispatch_cost.py: 41.3 vs 41.0
-                # ms/step; only per-step SYNC pays the ~95ms RTT), and
-                # the per-step program compiles remotely at papers100M
-                # caps where the whole-epoch scan does not (PERF.md).
-                seeds_dev = jnp.asarray(seeds_all)
-                nums_dev = jnp.asarray(nums_all)
-                st = self.state
-                ls, as_, es, os_ = [], [], [], []
-                for i in range(seeds_all.shape[0]):
-                    key = jax.random.fold_in(epoch_key, i)
-                    st, l, a, ne, ov = self.fused_step(
-                        st, key, seeds_dev[i], nums_dev[i]
-                    )
-                    ls.append(l); as_.append(a); es.append(ne)
-                    os_.append(ov)
-                self.state = st
-                w = jnp.asarray(
-                    (np.asarray(nums_all) > 0).astype(np.float32)
-                )
-                wsum = jnp.maximum(w.sum(), 1.0)
-                loss = (jnp.stack(ls) * w).sum() / wsum
-                acc = (jnp.stack(as_) * w).sum() / wsum
-                edges = jnp.stack(es).sum()
-                ovf = jnp.stack(os_).any()
-            else:
-                self.state, (loss, acc, edges, ovf) = self.epoch_fused(
-                    self.state, epoch_key, jnp.asarray(seeds_all),
-                    jnp.asarray(nums_all),
-                )
-            stats = np.asarray(jnp.stack(
-                [loss, acc, edges.astype(jnp.float32),
-                 ovf.astype(jnp.float32)]
-            ))  # single device fetch
+            stats_dev = self._dispatch_fused_epoch(epoch)
+            # prefetch the NEXT epoch's seed upload: device_put is async,
+            # so the ~1MB H2D overlaps this epoch's stats-fetch RTT — the
+            # two tunnel round-trips dominated the out-of-program residual
+            # (PERF.md round 4: 32x37.8ms in-program vs 1.35s epoch)
+            self._prefetch_epoch_seeds(epoch + 1)
+            stats = np.asarray(stats_dev)   # single device fetch
             self._surface_overflow(epoch, stats[3] > 0)
             epoch_time = t_epoch.passed()
             prof.log_epoch_add(epoch, "epoch_total_time", epoch_time)

@@ -277,7 +277,7 @@ class HostSamplingEngine:
             fan_sampling = list(reversed(cfg.fanout))
         caps = calibrate_caps(
             self.indptr, self.indices, np.asarray(ds.train_set),
-            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            cfg.batch_size, fan_sampling, seed=cfg.seed,
             replace=(st == SampleType.KHOP1),
         )
         self.plan = make_plan(cfg.batch_size, list(reversed(fan_sampling)),

@@ -111,13 +111,25 @@ def calibrate_caps(
     train_set: np.ndarray,
     batch_size: int,
     fanouts_sampling_order: Sequence[int],
-    num_probe: int = 3,
+    num_probe: int = 8,
     seed: int = 0,
     replace: bool = False,
 ) -> List[int]:
-    """Max observed per-hop unique counts over a few random batches."""
+    """Per-hop unique-count caps from random probe batches.
+
+    PredictNumNodes analog (reference common.h:244-250), but measured
+    rather than worst-case. Cap = max over probes PLUS the observed
+    probe-to-probe range as headroom: a few probes estimate the location
+    of the epoch maximum but not its tail, and an under-cap silently
+    clips batches mid-epoch (MULTICHIP_r02 tripped the overflow backstop
+    with 2 plain-max probes). The range margin scales with the config's
+    actual batch variance — skewed graphs get real headroom, regular
+    graphs pay nothing — and the engine's ALLOC_SCALE (1.25x, the
+    reference's allocation scale, constant.h:78) still applies on top.
+    """
     rng = np.random.default_rng(seed)
-    caps = [0] * len(fanouts_sampling_order)
+    num_probe = max(2, num_probe)
+    obs = [[] for _ in fanouts_sampling_order]
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     for _ in range(num_probe):
@@ -128,6 +140,10 @@ def calibrate_caps(
             nbr, valid = np_sample_hop_vec(rng, indptr, indices, cur, f,
                                            replace)
             uniq = np.union1d(cur, nbr[valid])
-            caps[l] = max(caps[l], len(uniq))
+            obs[l].append(len(uniq))
             cur = uniq
+    caps = []
+    for counts in obs:
+        hi, lo = max(counts), min(counts)
+        caps.append(hi + (hi - lo))
     return caps

@@ -124,7 +124,7 @@ class _EngineBase:
             fan_sampling = list(reversed(cfg.fanout))
         caps = calibrate_caps(
             indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
-            cfg.batch_size, fan_sampling, num_probe=2, seed=cfg.seed,
+            cfg.batch_size, fan_sampling, seed=cfg.seed,
             replace=(cfg.sample_type == SampleType.KHOP1),
         )
         self.plan = make_plan(

@@ -75,10 +75,22 @@ def tail_reserve_policy(
     per_t, per_full = g_t / T, g_full / W          # per-batch costs
 
     min_tail = min(W, num_step)
-    # cost of one full-width group vs pushing those batches through the
-    # T-mesh instead
-    min_tail_pays = g_full <= (-(-min_tail // T)) * g_t * 1.05
+    # The per-batch gate is the primary condition for ANY engagement: on
+    # real chips the sampler devices are idle by tail time, so a W-wide
+    # group costs about one T-wide group and per_full < per_t; on an
+    # OVERSUBSCRIBED virtual mesh "idle" devices still consume host
+    # cores, per_full measures worse, and the switch must decline.
+    # Round-3 fig17a regression: the old minimal-tail gate compared one
+    # wide group against the ceil'd T-group slots it replaces
+    # (group-granularity savings) and engaged even though per-batch cost
+    # was 25% worse — and wide-group cost degrades far beyond its quiet
+    # calibration under load (observed 2.5->7.1s at calibrated 5.3s,
+    # while T-groups held 1.7->4.2s), so group-slot math alone is not a
+    # safe engagement signal. Both gates must pass.
     backlog_pays = per_full <= per_t * 1.05
+    min_tail_pays = (
+        backlog_pays and g_full <= (-(-min_tail // T)) * g_t * 1.05
+    )
     reserve = 0
     if backlog_pays:
         reserve = k * T
@@ -162,7 +174,7 @@ class SwitcherEngine(FactoredEngine):
 
         one_wave()                      # compile
         t_wave = float("inf")
-        for _ in range(2):              # min-of-reps (one noisy timing
+        for _ in range(3):              # min-of-reps (one noisy timing
             t = Timer()                 # mis-reserves every epoch)
             wave, idx = one_wave()
             t_wave = min(t_wave, t.passed())
@@ -183,7 +195,7 @@ class SwitcherEngine(FactoredEngine):
                                   jax.random.fold_in(base, 0xBEEF))
             force_done(out[1])
             best = float("inf")
-            for _ in range(2):          # min-of-reps (ADVICE r2): a GC
+            for _ in range(3):          # min-of-reps (ADVICE r2): a GC
                 tt = Timer()            # pause in ONE probe would size
                 probe = jax.tree.map(   # the tail for every epoch
                     jnp.copy, self.state)

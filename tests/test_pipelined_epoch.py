@@ -101,3 +101,31 @@ def test_pipelined_single_step_epoch(ds):
         assert np.isfinite(r["loss"])
     finally:
         os.environ.pop("FGNN_TPU_PIPELINE_EPOCH", None)
+
+
+def test_run_epochs_matches_sequential(small_ds):
+    """run_epochs (back-to-back fused dispatch, one stats fetch) is a
+    SCHEDULING change: losses, sampled edges and final params must match
+    sequential run_epoch calls exactly."""
+    import jax
+
+    from fgnn_tpu.config import RunConfig, SampleType
+    from fgnn_tpu.engine import OneChipEngine
+
+    cfg = RunConfig(model="graphsage", fanout=(3, 5), batch_size=64,
+                    num_hidden=32, sample_type=SampleType.KHOP0,
+                    dropout=0.0, num_epoch=3)
+
+    eng_a = OneChipEngine(cfg, small_ds)
+    seq = [eng_a.run_epoch(e) for e in range(3)]
+    eng_b = OneChipEngine(cfg, small_ds)
+    piped = eng_b.run_epochs(0, 3)
+
+    for a, b in zip(seq, piped):
+        assert a["loss"] == b["loss"], (a, b)
+        assert a["sampled_edges"] == b["sampled_edges"]
+    jax.tree.map(
+        np.testing.assert_array_equal,
+        jax.tree.map(np.asarray, eng_a.state.params),
+        jax.tree.map(np.asarray, eng_b.state.params),
+    )
