@@ -115,6 +115,22 @@ def cpu_mesh_meta(n_devices: int) -> Dict[str, str]:
     }
 
 
+def tunnel_meta() -> Dict[str, str]:
+    """Validity stamp for REAL-chip runs with host-resident features in
+    this environment (round-3 verdict Weak #7): the host<->device link is
+    an axon tunnel at ~30MB/s, 300-1000x slower than a real PCIe-class
+    host link, so ABSOLUTE staging/epoch times in cache mode are
+    environment-bound. Hit rates, byte counts, and on-device stage times
+    carry to real hardware; see PERF.md 'Cache mode'."""
+    return {
+        "host_link": "axon-tunnel(~30MB/s h2d)",
+        "validity": (
+            "cache-mode ABSOLUTE wall-clock is tunnel-bound; hit rates, "
+            "miss bytes and on-device times are the portable signals"
+        ),
+    }
+
+
 def write_table(results: List[RunResult], columns: List[str],
                 path: str, meta: Optional[Dict[str, str]] = None) -> None:
     """logtable: one row per run, tab-separated (reference table format).

@@ -13,7 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.runner import (cpu_mesh_meta, run_app, tunnel_meta,
+                               write_json, write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -55,13 +56,15 @@ def main():
             r.config["policy"] = policy
             results.append(r)
 
+    meta = (cpu_mesh_meta(8) if getattr(args, 'cpu_mesh', False)
+            else tunnel_meta())
     write_table(
         results,
         ["model", "policy", "cache_hit_rate", "copy_time", "train_time",
          "epoch_time", "epoch_time:min"],
-        os.path.join(HERE, "fig12.dat"),
+        os.path.join(HERE, "fig12.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "fig12.json"))
+    write_json(results, os.path.join(HERE, "fig12.json"), meta=meta)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.runner import (cpu_mesh_meta, run_app, tunnel_meta,
+                               write_json, write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -57,13 +58,15 @@ def main():
         r.config["num_node"] = args.synthetic_nodes  # consumed by fig4b
         results.append(r)
 
+    meta = (cpu_mesh_meta(8) if getattr(args, 'cpu_mesh', False)
+            else tunnel_meta())
     write_table(
         results,
         ["cache_percentage", "cache_hit_rate", "copy_time", "extract_time",
          "train_time", "epoch_time"],
-        os.path.join(HERE, "fig4a.dat"),
+        os.path.join(HERE, "fig4a.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "fig4a.json"))
+    write_json(results, os.path.join(HERE, "fig4a.json"), meta=meta)
 
 
 if __name__ == "__main__":

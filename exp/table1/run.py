@@ -23,7 +23,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.runner import (cpu_mesh_meta, run_app, tunnel_meta,
+                               write_json, write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -86,13 +87,15 @@ def main():
         r.config["system"] = tag
         results.append(r)
 
+    meta = (cpu_mesh_meta(8) if getattr(args, 'cpu_mesh', False)
+            else tunnel_meta())
     write_table(
         results,
         ["system", "sample_time", "copy_time", "extract_time",
          "train_time", "epoch_time", "epoch_time_l2"],
-        os.path.join(HERE, "table1.dat"),
+        os.path.join(HERE, "table1.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "table1.json"))
+    write_json(results, os.path.join(HERE, "table1.json"), meta=meta)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.runner import run_app, write_json, write_table
+from exp.common.runner import (cpu_mesh_meta, run_app, tunnel_meta,
+                               write_json, write_table)
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -61,14 +62,15 @@ def main():
         r.config["policy"] = policy
         results.append(r)
 
+    meta = cpu_mesh_meta(8) if args.cpu_mesh else tunnel_meta()
     write_table(
         results,
         ["policy", "init:load_dataset", "init:copy", "init:build_cache",
          "init:presample", "init_time", "cache_hit_rate", "epoch_time",
          "epoch_time:min"],
-        os.path.join(HERE, "table6.dat"),
+        os.path.join(HERE, "table6.dat"), meta=meta,
     )
-    write_json(results, os.path.join(HERE, "table6.json"))
+    write_json(results, os.path.join(HERE, "table6.json"), meta=meta)
 
 
 if __name__ == "__main__":
