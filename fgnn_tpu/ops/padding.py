@@ -99,17 +99,28 @@ def make_plan(
     n_uniq = []
     cur = _round_up(batch_size)
     for l, f in enumerate(fan):
-        cur = min(cur, _round_up(num_node))
         n_in.append(cur)
         edges = cur * f
         n_edge.append(edges)
+        # The unique buffer layout is [static seed block | appended new
+        # nodes] (ops/hashtable.py contract: seeds keep their input
+        # positions). Capacity must therefore cover the STATIC seed slots
+        # plus the measured/worst-case APPEND count — clamping the total
+        # at num_node left zero append room once the frontier cap
+        # saturated the graph, and every batch clipped (fig17a round-4).
         if unique_caps is not None:
-            uniq = _round_up(int(unique_caps[l] * scale))
+            uc = unique_caps[l]
+            if isinstance(uc, tuple):
+                _, new = uc
+                uniq = cur + _round_up(int(new * scale))
+            else:                               # legacy cumulative int
+                uniq = max(_round_up(int(uc * scale)), cur + 128)
             if bucket > 0:
                 uniq = _bucket_up(uniq, bucket)
         else:
             uniq = _round_up(cur + edges)      # worst case: all new
-        uniq = min(uniq, _round_up(num_node))
+        # at most num_node NEW nodes can ever be appended
+        uniq = min(uniq, _round_up(cur + num_node))
         n_uniq.append(uniq)
         cur = uniq
     return SamplePlan(

@@ -114,7 +114,7 @@ def calibrate_caps(
     num_probe: int = 8,
     seed: int = 0,
     replace: bool = False,
-) -> List[int]:
+) -> "List[Tuple[int, int]]":
     """Per-hop unique-count caps from random probe batches.
 
     PredictNumNodes analog (reference common.h:244-250), but measured
@@ -126,10 +126,19 @@ def calibrate_caps(
     actual batch variance — skewed graphs get real headroom, regular
     graphs pay nothing — and the engine's ALLOC_SCALE (1.25x, the
     reference's allocation scale, constant.h:78) still applies on top.
+
+    Returns one ``(cumulative, new)`` pair per hop: the cumulative unique
+    count and the NEW-nodes-appended count, both max-plus-range. The plan
+    sizes each hop's unique buffer as ``static_seed_block + new`` — the
+    buffer layout keeps seeds at their input positions, so the appended
+    region is what actually needs capacity (a cumulative cap clamped at
+    num_node left ZERO append room once the frontier saturated the graph,
+    guaranteeing clipping — fig17a round-4 regression).
     """
     rng = np.random.default_rng(seed)
     num_probe = max(2, num_probe)
     obs = [[] for _ in fanouts_sampling_order]
+    obs_new = [[] for _ in fanouts_sampling_order]
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
     for _ in range(num_probe):
@@ -141,9 +150,11 @@ def calibrate_caps(
                                            replace)
             uniq = np.union1d(cur, nbr[valid])
             obs[l].append(len(uniq))
+            obs_new[l].append(len(uniq) - len(cur))
             cur = uniq
     caps = []
-    for counts in obs:
+    for counts, news in zip(obs, obs_new):
         hi, lo = max(counts), min(counts)
-        caps.append(hi + (hi - lo))
+        nhi, nlo = max(news), min(news)
+        caps.append((hi + (hi - lo), nhi + (nhi - nlo)))
     return caps

@@ -168,6 +168,13 @@ def test_range_margin_caps_cover_skewed_epoch():
     # the point of the test: this config defeats the old scheme...
     assert any(o * scale < t for o, t in zip(old, true_max)), (
         old, true_max)
-    # ...and the shipped scheme covers it
-    for n_, t in zip(new, true_max):
-        assert n_ * scale >= t, (new, true_max)
+    # ...and the shipped scheme covers it (cumulative component)
+    for (cum, _new), t in zip(new, true_max):
+        assert cum * scale >= t, (new, true_max)
+    # and the PLAN built from the (cumulative, new) pairs leaves real
+    # append room at every hop (the fig17a failure mode: seed block ==
+    # total cap -> zero room)
+    from fgnn_tpu.ops.padding import make_plan
+    plan = make_plan(bs, list(reversed(fan)), 50_000, unique_caps=new)
+    for s_in, s_uniq in zip(plan.num_input_cap, plan.num_unique_cap):
+        assert s_uniq > s_in, plan

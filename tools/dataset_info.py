@@ -68,9 +68,9 @@ def main():
         indptr, indices, np.asarray(ds.train_set), args.batch_size,
         list(reversed(args.fanout)), num_probe=3, seed=0,
     )
-    print(f"calibrated unique caps per hop (batch {args.batch_size}, "
-          f"fanout {args.fanout}): {caps}")
-    feat_bytes_per_batch = caps[-1] * ds.feat_dim * 4
+    print(f"calibrated (cumulative, new) unique caps per hop "
+          f"(batch {args.batch_size}, fanout {args.fanout}): {caps}")
+    feat_bytes_per_batch = caps[-1][0] * ds.feat_dim * 4
     print(f"est feature bytes/batch={feat_bytes_per_batch/1e6:.1f}MB")
 
 
