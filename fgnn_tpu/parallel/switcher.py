@@ -23,9 +23,11 @@ T-wide train group, and one (S+T)-wide train group, then reserves
     K groups  =  total groups  -  (sampling time / T-group time)
 
 for the tail — the number of groups the T-mesh *cannot* finish before the
-samplers go idle. When training keeps pace (K <= 0) a minimal one-group
-tail still runs on the full mesh (never slower: sampler chips are idle by
-then and the state hop is two device_puts).
+samplers go idle. Engagement is gated on the measured PER-BATCH cost of a
+full-mesh group (see tail_reserve_policy): on real chips the sampler
+chips are idle by tail time so the wide group is cheap and the gate
+passes; on an oversubscribed virtual mesh it declines rather than
+regress.
 """
 from __future__ import annotations
 
