@@ -37,8 +37,10 @@ def main():
     args = p.parse_args()
 
     n = args.num_sample_worker + args.num_train_worker
-    # generous caps: a clipped batch would corrupt the comparison
-    env = {"FGNN_TPU_ALLOC_SCALE": "2.5"}
+    # default alloc scale: calibrate_caps' range margin + explicit
+    # append-region sizing (ops/padding.py) cover the epoch max without
+    # the old 2.5x crutch, which doubled every buffer on the mesh
+    env = {}
     if args.cpu_mesh:
         env.update({
             "JAX_PLATFORMS": "cpu",
