@@ -128,3 +128,38 @@ def test_empty_feat_is_explicit():
     out = host_gather(ds.feat, ids, mod=ds.feat_mod)
     np.testing.assert_allclose(out[1], ds.feat[300 % 256])
     np.testing.assert_allclose(out[3], 0)
+
+
+def test_graph_properties_checker():
+    """toolkit/property analog: the vectorized property report matches a
+    hand-built graph (reference graph_property.cc checks)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.dataset_info import graph_properties
+
+    # 4 nodes: 0->1, 0->1 (dup), 1->0 (reverse of 0->1), 1->1 (self),
+    # 2->0 (sorted row), node 3 zero-degree; row 0 unsorted? [1,1] ok.
+    indptr = np.array([0, 2, 4, 5, 5], np.int64)
+    indices = np.array([1, 1, 0, 1, 0], np.int32)
+    p = graph_properties(indptr, indices, 4)
+    assert p["self_loops"] == 1
+    assert p["zero_degree_nodes"] == 1
+    assert p["duplicate_edges"] == 1       # the second 0->1
+    # reverse membership: 0->1 has 1->0 (x2 for the dup), 1->0 has 0->1,
+    # 1->1 is its own reverse, 2->0 has no 0->2
+    assert p["reverse_edges"] == 4
+    assert not p["is_undirected"]
+    assert p["indices_sorted"]
+
+    # unsorted row detected
+    p2 = graph_properties(np.array([0, 2, 2], np.int64),
+                          np.array([1, 0], np.int32), 2)
+    assert not p2["indices_sorted"]
+
+    # fully undirected triangle
+    ip = np.array([0, 2, 4, 6], np.int64)
+    ix = np.array([1, 2, 0, 2, 0, 1], np.int32)
+    p3 = graph_properties(ip, ix, 3)
+    assert p3["is_undirected"] and p3["reverse_edges"] == 6
+    assert p3["duplicate_edges"] == 0 and p3["self_loops"] == 0

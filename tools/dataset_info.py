@@ -1,11 +1,14 @@
 """Dataset inspection / validation CLI.
 
 Analog of the reference's utility/data-process toolkit/{property,degree,
-train_graph_size} binaries: CSR validity check, degree statistics, and
-per-hop sampled-subgraph size estimates.
+train_graph_size} binaries: CSR validity check, graph property report
+(directedness / self-loops / duplicate edges / zero-degree nodes /
+sorted-indices, graph_property.cc:25-168 + csr_checker.cc:26-78),
+degree statistics, and per-hop sampled-subgraph size estimates.
 
 Usage: python tools/dataset_info.py <name> [--root PATH] [--fanout 25 10]
        python tools/dataset_info.py synthetic --num-nodes 100000
+       python tools/dataset_info.py <name> --property   # full O(E log E) scan
 """
 import argparse
 import os
@@ -16,6 +19,49 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def graph_properties(indptr, indices, num_node):
+    """Vectorized graph-property report (reference graph_property.cc).
+
+    The reference walks per-node hash sets under OpenMP; here each check
+    is one sorted-array pass: edges are encoded as src*N+dst int64 codes,
+    duplicates are adjacent equal codes after sorting, and reverse edges
+    are membership probes of the flipped codes via searchsorted.
+    """
+    indptr = np.asarray(indptr, dtype=np.int64)
+    indices = np.asarray(indices)
+    num_edge = int(indices.shape[0])
+    deg = np.diff(indptr)
+    src = np.repeat(np.arange(num_node, dtype=np.int64), deg)
+    dst = indices.astype(np.int64)
+
+    out = {}
+    out["self_loops"] = int((src == dst).sum())
+    out["zero_degree_nodes"] = int((deg == 0).sum())
+
+    # within-row sortedness: adjacent indices comparisons, masked at row
+    # starts (positions in indptr[1:-1])
+    if num_edge > 1:
+        adj_bad = indices[1:] < indices[:-1]
+        row_start = np.zeros(num_edge - 1, dtype=bool)
+        starts = indptr[1:-1]
+        row_start[starts[(starts > 0) & (starts < num_edge)] - 1] = True
+        out["indices_sorted"] = bool(~(adj_bad & ~row_start).any())
+    else:
+        out["indices_sorted"] = True
+
+    codes = src * num_node + dst
+    codes_sorted = np.sort(codes)
+    out["duplicate_edges"] = int((codes_sorted[1:] == codes_sorted[:-1]).sum())
+
+    # reverse-edge count: how many (src, dst) have (dst, src) present
+    rev = dst * num_node + src
+    pos = np.searchsorted(codes_sorted, rev)
+    pos = np.clip(pos, 0, num_edge - 1)
+    out["reverse_edges"] = int((codes_sorted[pos] == rev).sum())
+    out["is_undirected"] = out["reverse_edges"] == num_edge
+    return out
+
+
 def main():
     p = argparse.ArgumentParser("fgnn_tpu dataset info")
     p.add_argument("name")
@@ -23,6 +69,8 @@ def main():
     p.add_argument("--num-nodes", type=int, default=100_000)
     p.add_argument("--fanout", nargs="+", type=int, default=[25, 10])
     p.add_argument("--batch-size", type=int, default=8000)
+    p.add_argument("--property", action="store_true",
+                   help="full graph-property scan (O(E log E) sort)")
     args = p.parse_args()
 
     from fgnn_tpu.data import load_dataset, make_synthetic_dataset
@@ -51,6 +99,11 @@ def main():
         if len(a) and (a.max() >= ds.num_node or a.min() < 0):
             print(f"FAIL: {name}_set out of range"); ok = False
     print(f"csr_check={'OK' if ok else 'FAIL'}")
+
+    if args.property:
+        props = graph_properties(indptr, indices, ds.num_node)
+        for k, v in props.items():
+            print(f"{k}={v}")
 
     # --- degree stats (toolkit/degree) -----------------------------------
     print(f"num_node={ds.num_node} num_edge={ds.num_edge} "
