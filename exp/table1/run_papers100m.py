@@ -183,13 +183,47 @@ def main():
 
     from exp.common.runner import tunnel_meta
 
+    out_json = os.path.join(HERE, "table1_papers100m.json")
+    if len(args.rows) > 1:
+        # one subprocess per row: each row re-uploads the ~7GB graph, and
+        # a fresh process is the only reliable way to return the previous
+        # row's HBM to the allocator (the in-process `del eng` left enough
+        # resident to RESOURCE_EXHAUST the next row's init at 111M nodes)
+        import subprocess
+
+        base = [sys.executable, os.path.abspath(__file__),
+                "--cache-dir", args.cache_dir,
+                "--num-node", str(args.num_node),
+                "--num-epoch", str(args.num_epoch),
+                "--cache-percentage", str(args.cache_percentage),
+                "--train-frac", str(args.train_frac),
+                "--dev-train-frac", str(args.dev_train_frac)]
+        if args.skip_stages:
+            base.append("--skip-stages")
+        for row in args.rows:
+            r = subprocess.run(base + ["--rows", row])
+            if r.returncode != 0:
+                print(f"[table1-p100m] row {row} FAILED rc={r.returncode}",
+                      flush=True)
+        return
+
     results = []
+    # merge with rows measured by earlier (sub)invocations
+    prior = {}
+    if os.path.exists(out_json):
+        try:
+            with open(out_json) as f:
+                prior = {r["system"]: r
+                         for r in json.load(f).get("results", [])}
+        except Exception:
+            pass
     for row in args.rows:
         frac = (args.dev_train_frac if row in ("dev", "host")
                 else args.train_frac)
         ds = load_p100m(args.cache_dir, args.num_node, frac)
         print(f"[table1-p100m] row {row} (train_frac {frac})", flush=True)
-        results.append(run_row(row, ds, args))
+        prior[ROW_LABEL[row]] = run_row(row, ds, args)
+    results = [prior[ROW_LABEL[r]] for r in ROWS if ROW_LABEL[r] in prior]
 
     meta = dict(tunnel_meta())
     meta["dataset"] = (f"papers100M-shape synthetic {args.num_node} nodes "
