@@ -25,11 +25,18 @@ EXP_PRESETS = [
     dict(model="gcn", nodes=100_000, batch_size=4000, fanout=(5, 10, 15),
          sample_type="khop2"),                      # fig14 / fig15
     dict(model="gcn", nodes=200_000, batch_size=8000, fanout=(5, 10, 15),
-         sample_type="khop2"),                      # table4 / table5
+         sample_type="khop2"),                      # table4 / table5 (chip)
     dict(model="graphsage", nodes=200_000, batch_size=8000,
-         fanout=(5, 10, 15), sample_type="khop0"),  # table4
+         fanout=(5, 10, 15), sample_type="khop0"),  # table4 (chip)
     dict(model="pinsage", nodes=200_000, batch_size=8000, fanout=(5, 10, 15),
-         sample_type="random_walk"),                # table4 / fig17a
+         sample_type="random_walk"),                # table4 / fig17a (chip)
+    # the --cpu-mesh artifact shape is batch 2000 (table4/table5 runners)
+    dict(model="gcn", nodes=200_000, batch_size=2000, fanout=(5, 10, 15),
+         sample_type="khop2"),                      # table4 cpu-mesh
+    dict(model="graphsage", nodes=200_000, batch_size=2000,
+         fanout=(5, 10, 15), sample_type="khop0"),  # table4/5 cpu-mesh
+    dict(model="pinsage", nodes=200_000, batch_size=2000, fanout=(5, 10, 15),
+         sample_type="random_walk"),                # table4 cpu-mesh
     dict(model="pinsage", nodes=100_000, batch_size=2000, fanout=(5, 10, 15),
          sample_type="random_walk"),                # fig17a
 ]
@@ -100,6 +107,8 @@ def main():
     p.add_argument("--fanout", nargs="+", type=int, default=[5, 10, 15])
     p.add_argument("--sample-type", default="khop2")
     p.add_argument("--preset", choices=["exp"], default=None)
+    p.add_argument("--missing-only", action="store_true",
+                   help="skip presets that already have a chip calibration")
     p.add_argument("--cpu", action="store_true",
                    help="host-only smoke (NOT a valid calibration)")
     args = p.parse_args()
@@ -120,6 +129,10 @@ def main():
     for c in todo:
         sig = config_sig(c["model"], c["nodes"], c["batch_size"],
                          c["fanout"], c["sample_type"])
+        if args.missing_only and data.get(sig, {}).get("platform") == "tpu":
+            print(f"[calibrate] {sig} already calibrated, skipping",
+                  flush=True)
+            continue
         print(f"[calibrate] {sig}", flush=True)
         cal = calibrate_one(**c)
         print(f"[calibrate]   {cal}", flush=True)
