@@ -34,8 +34,8 @@ SPECS = {
              "pinsage": "random_walk"}[c["model"]]),
     ),
     "table5": (
-        ["split", "num_step", "epoch_time", "sample_time", "copy_time",
-         "extract_time", "train_time", "pred_epoch_time"],
+        ["split", "num_step", "epoch_time", "epoch_time:min", "sample_time",
+         "copy_time", "extract_time", "train_time", "pred_epoch_time"],
         lambda c: config_sig(
             c["model"], int(c.get("synthetic_nodes", 200000)),
             int(c["batch_size"]), (5, 10, 15),
