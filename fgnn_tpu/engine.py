@@ -119,16 +119,37 @@ class OneChipEngine:
             fan_sampling = [cfg.num_neighbor] * cfg.num_layer_rw
         else:
             fan_sampling = list(reversed(cfg.fanout))
-        caps = calibrate_caps(
-            indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
-            cfg.batch_size, fan_sampling, seed=cfg.seed,
-            replace=(cfg.sample_type == SampleType.KHOP1),
+        # degree-tiered last hop (PERF.md round 5): only for the no-dedup
+        # fast path's samplers — take-all on the small tier is
+        # distribution-identical ONLY for uniform-without-replacement,
+        # and GCN keeps last-hop dedup (out-degree norm). Disable via
+        # FGNN_TPU_TIERED_HOP=0.
+        tiered_ok = (
+            cfg.sample_type in (SampleType.KHOP0, SampleType.KHOP2)
+            and cfg.model != "gcn"
+            and os.environ.get("FGNN_TPU_TIERED_HOP", "1")
+            not in ("0", "false")
         )
+        tier_stats = None
+        if tiered_ok:
+            caps, tier_stats = calibrate_caps(
+                indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
+                cfg.batch_size, fan_sampling, seed=cfg.seed,
+                replace=False,
+                tier_candidates=(4, 6, 8, 10, 12, 16),
+            )
+        else:
+            caps = calibrate_caps(
+                indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
+                cfg.batch_size, fan_sampling, seed=cfg.seed,
+                replace=(cfg.sample_type == SampleType.KHOP1),
+            )
         self.plan = make_plan(
             cfg.batch_size,
             list(reversed(fan_sampling)),   # make_plan reverses again
             ds.num_node,
             unique_caps=caps,
+            tier_stats=tier_stats,
         )
         log.info("sample plan: %s", self.plan)
 

@@ -68,6 +68,40 @@ def segment_agg(
             agg = agg / jnp.maximum(cnt, 1.0)[:, None]
         return agg
 
+    ts = block.tier_split
+    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
+        # TIERED block (Block.tier_split): per-tier dense reshape+reduce
+        # in tier order, then ONE [V]-row gather (dst_invperm) restores
+        # original dst order — still no scatter.
+        VA, fA, VB, fB = ts
+        assert dst_cap == VA + VB, (dst_cap, ts)
+        D = messages.shape[-1]
+        sums, dens = [], []
+        for lo, v, k in ((0, VA, fA), (VA * fA, VB, fB)):
+            m = jax.lax.slice_in_dim(mask, lo, lo + v * k).reshape(v, k)
+            msg = jax.lax.slice_in_dim(
+                messages, lo, lo + v * k
+            ).reshape(v, k, D)
+            if mode == "weighted_mean":
+                assert edge_weights is not None
+                w = jnp.where(
+                    m,
+                    jax.lax.slice_in_dim(
+                        edge_weights, lo, lo + v * k
+                    ).reshape(v, k),
+                    0.0,
+                )
+                sums.append((msg * w[..., None]).sum(axis=1))
+                dens.append(w.sum(axis=1))
+            else:
+                sums.append(jnp.where(m[..., None], msg, 0.0).sum(axis=1))
+                dens.append(m.sum(axis=1).astype(messages.dtype))
+        agg = jnp.concatenate(sums, axis=0)
+        if mode in ("mean", "weighted_mean"):
+            den = jnp.concatenate(dens, axis=0)
+            agg = agg / jnp.maximum(den, 1.0)[:, None]
+        return jnp.take(agg, block.dst_invperm, axis=0)
+
     dst = jnp.where(mask, block.dst_local, dst_cap)  # trash row = dst_cap
     w = None
     if mode == "weighted_mean":
@@ -110,6 +144,27 @@ def segment_softmax(
         denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
         return (ex / denom).reshape(dst_cap * K, H)
 
+    ts = block.tier_split
+    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
+        # TIERED block: per-tier softmax; edge layout preserved (each dst
+        # owns one contiguous slot run inside its tier), no unperm needed
+        VA, fA, VB, fB = ts
+        H = scores.shape[-1]
+        outs = []
+        for lo, v, k in ((0, VA, fA), (VA * fA, VB, fB)):
+            m = jax.lax.slice_in_dim(mask, lo, lo + v * k).reshape(v, k, 1)
+            s = jnp.where(
+                m,
+                jax.lax.slice_in_dim(scores, lo, lo + v * k).reshape(v, k, H),
+                neg_inf,
+            )
+            smax = jnp.max(s, axis=1, keepdims=True)
+            smax = jnp.where(smax == neg_inf, 0.0, smax)
+            ex = jnp.where(m, jnp.exp(s - smax), 0.0)
+            denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
+            outs.append((ex / denom).reshape(v * k, H))
+        return jnp.concatenate(outs, axis=0)
+
     dst = jnp.where(mask, block.dst_local, dst_cap)
     masked = jnp.where(mask[:, None], scores, neg_inf)
     smax = jax.ops.segment_max(masked, dst, num_segments=dst_cap + 1)
@@ -125,6 +180,16 @@ def in_degrees(block: Block, dst_cap: int) -> jnp.ndarray:
     K = block.slots_per_dst
     if K is not None and mask.shape[0] == dst_cap * K:
         return mask.reshape(dst_cap, K).sum(axis=1).astype(jnp.float32)
+    ts = block.tier_split
+    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
+        VA, fA, VB, fB = ts
+        cnt = jnp.concatenate([
+            jax.lax.slice_in_dim(mask, 0, VA * fA).reshape(VA, fA)
+            .sum(axis=1),
+            jax.lax.slice_in_dim(mask, VA * fA, VA * fA + VB * fB)
+            .reshape(VB, fB).sum(axis=1),
+        ]).astype(jnp.float32)
+        return jnp.take(cnt, block.dst_invperm)
     dst = jnp.where(mask, block.dst_local, dst_cap)
     return jax.ops.segment_sum(
         mask.astype(jnp.float32), dst, num_segments=dst_cap + 1

@@ -53,6 +53,14 @@ class SamplePlan:
     num_input_cap: Tuple[int, ...]     # cap on input (seed) count per hop
     num_edge_cap: Tuple[int, ...]      # cap on sampled edges per hop
     num_unique_cap: Tuple[int, ...]    # cap on unique output per hop
+    # degree-tiered LAST hop (no-dedup fast mode only): frontier vertices
+    # with deg > tier_b_fanout occupy the first tier_a_cap slots at full
+    # fanout; the rest take ALL their <= tier_b_fanout neighbors at width
+    # tier_b_fanout. Cuts edge-slot padding (the calibrated occupancy of
+    # a flat V*fanout cap is ~33% at bench shapes) and with it the two
+    # row-rate-bound gathers that dominate the step (PERF.md round 5).
+    tier_a_cap: Optional[int] = None
+    tier_b_fanout: Optional[int] = None
 
     @property
     def num_layer(self) -> int:
@@ -70,6 +78,7 @@ def make_plan(
     num_node: int,
     scale: float = constants.ALLOC_SCALE,
     unique_caps: Optional[Sequence[int]] = None,
+    tier_stats: Optional[dict] = None,
 ) -> SamplePlan:
     """Compute padded sizes.
 
@@ -123,10 +132,35 @@ def make_plan(
         uniq = min(uniq, _round_up(cur + num_node))
         n_uniq.append(uniq)
         cur = uniq
+
+    # --- degree-tiered last hop (see SamplePlan.tier_a_cap) -----------
+    # tier_stats: {fB: [per-probe count(frontier deg > fB)]} measured by
+    # calibrate_caps. Pick the small-tier width minimizing total slots
+    # (max-plus-range margin on the big-tier cap, like every other cap);
+    # only engage when it saves >= 10% of the flat cap — below that the
+    # partition sort + unpermute gather are not worth paying.
+    tier_a = tier_b = None
+    if tier_stats:
+        V, f_last = n_in[-1], fan[-1]
+        best = None
+        for fB, counts in tier_stats.items():
+            if fB >= f_last or not counts:
+                continue
+            hi, lo = max(counts), min(counts)
+            va = min(_round_up(int((hi + (hi - lo)) * scale)), V)
+            slots = va * f_last + (V - va) * fB
+            if best is None or slots < best[0]:
+                best = (slots, fB, va)
+        if best is not None and best[0] < 0.9 * n_edge[-1]:
+            n_edge[-1] = best[0]
+            tier_b, tier_a = best[1], best[2]
+
     return SamplePlan(
         batch_size=batch_size,
         fanouts=fan,
         num_input_cap=tuple(n_in),
         num_edge_cap=tuple(n_edge),
         num_unique_cap=tuple(n_uniq),
+        tier_a_cap=tier_a,
+        tier_b_fanout=tier_b,
     )

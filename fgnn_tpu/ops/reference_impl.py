@@ -114,6 +114,7 @@ def calibrate_caps(
     num_probe: int = 8,
     seed: int = 0,
     replace: bool = False,
+    tier_candidates: "Optional[Sequence[int]]" = None,
 ) -> "List[Tuple[int, int]]":
     """Per-hop unique-count caps from random probe batches.
 
@@ -139,13 +140,21 @@ def calibrate_caps(
     num_probe = max(2, num_probe)
     obs = [[] for _ in fanouts_sampling_order]
     obs_new = [[] for _ in fanouts_sampling_order]
+    tier_obs = {fB: [] for fB in (tier_candidates or ())}
     indptr = np.asarray(indptr)
     indices = np.asarray(indices)
+    last = len(fanouts_sampling_order) - 1
     for _ in range(num_probe):
         seeds = rng.choice(train_set, size=min(batch_size, len(train_set)),
                            replace=False)
         cur = np.unique(seeds)
         for l, f in enumerate(fanouts_sampling_order):
+            if l == last and tier_obs:
+                # degree-tier sizing for the last hop: how many frontier
+                # vertices exceed each candidate small-tier width
+                deg = indptr[cur + 1] - indptr[cur]
+                for fB in tier_obs:
+                    tier_obs[fB].append(int((deg > fB).sum()))
             nbr, valid = np_sample_hop_vec(rng, indptr, indices, cur, f,
                                            replace)
             uniq = np.union1d(cur, nbr[valid])
@@ -157,4 +166,6 @@ def calibrate_caps(
         hi, lo = max(counts), min(counts)
         nhi, nlo = max(news), min(news)
         caps.append((hi + (hi - lo), nhi + (nhi - nlo)))
+    if tier_candidates is not None:
+        return caps, tier_obs
     return caps

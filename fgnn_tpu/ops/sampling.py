@@ -93,6 +93,18 @@ class Block:
     src_slice_offset: Optional[int] = struct.field(
         pytree_node=False, default=None
     )
+    # degree-tiered layout (STATIC): edges are laid out as
+    # [VA x fA | VB x fB] over a degree-partitioned frontier — tier
+    # position t corresponds to ORIGINAL frontier position dst_perm-less
+    # via ``dst_invperm``: aggregation runs per tier as a dense
+    # reshape+reduce, concatenates in tier order [VA+VB, D], then one
+    # [V]-row gather with ``dst_invperm`` restores original dst order.
+    # ``dst_local`` stores ORIGINAL frontier positions so every generic
+    # (segment/sanity) consumer keeps working unchanged.
+    tier_split: Optional[Tuple[int, int, int, int]] = struct.field(
+        pytree_node=False, default=None
+    )
+    dst_invperm: Optional[jnp.ndarray] = None   # [V] int32
 
     @property
     def src_cap(self) -> int:
@@ -542,6 +554,102 @@ def sample_layer(
     return jnp.where(valid, nbr, -1), valid, ovf
 
 
+def _tiered_last_hop(
+    key: jax.Array,
+    graph: CSRGraph,
+    cur: jnp.ndarray,
+    num_cur: jnp.ndarray,
+    fanout: int,
+    tier_a_cap: int,
+    tier_b_fanout: int,
+    with_out_degrees: bool,
+):
+    """Degree-tiered no-dedup last hop (uniform without replacement only).
+
+    The flat ``V * fanout`` edge cap of the last hop is ~33%-occupied at
+    bench shapes (E[min(deg, fanout)] << fanout on skewed graphs), and
+    the two dominant step costs — the CSR neighbor fetch and the feature
+    gather — pay platform row-rate for every PADDED slot (PERF.md round
+    5 budget: 5.3 + 20.8 of 37.5 ms). This partitions the frontier by
+    degree: vertices with deg > fB keep ``fanout`` Floyd-sampled slots in
+    the first ``tier_a_cap`` rows; the rest (deg <= fB) take ALL their
+    neighbors at width ``fB`` — an identical sampling distribution
+    (uniform-without-replacement at fanout >= deg IS take-all), with the
+    calibrated slot count ~0.5x of the flat cap.
+
+    Returns ``(block, unique, num_unique, ovf)``. ``ovf`` flags more
+    than ``tier_a_cap`` high-degree vertices (clipped rows then emit
+    their first fB neighbors — surfaced exactly like every other cap
+    overflow; calibration sizes the cap with max-plus-range margin).
+    """
+    V = cur.shape[0]
+    f = fanout
+    VA = tier_a_cap
+    VB = V - VA
+    fB = tier_b_fanout
+    node_ok = cur >= 0
+    safe_in = jnp.where(node_ok, cur, 0)
+    ptr_dtype = graph.indptr.dtype
+    off = graph.indptr[safe_in]
+    deg = (graph.indptr[safe_in + 1] - off).astype(jnp.int32)
+    deg = jnp.where(node_ok, deg, 0)
+
+    # stable partition: high-degree first, original order within tiers
+    isA = deg > fB
+    order = jnp.argsort(jnp.where(isA, 0, 1).astype(jnp.int8), stable=True)
+    order = order.astype(jnp.int32)
+    inv = jnp.argsort(order).astype(jnp.int32)
+    ovf = jnp.sum(isA) > VA
+    deg_p = jnp.take(deg, order)
+    off_p = jnp.take(off, order)
+    ok_p = jnp.take(node_ok, order)
+    E_idx = graph.indices.shape[0] - 1
+
+    # tier A: Floyd at full fanout (deg <= f rows degrade to take-all)
+    idxA, validA = _floyd_without_replacement(key, deg_p[:VA], f)
+    validA = validA & ok_p[:VA, None]
+    flatA = jnp.clip(
+        off_p[:VA][:, None] + jnp.maximum(idxA, 0).astype(ptr_dtype),
+        0, E_idx,
+    )
+    nbrA = take_1d_blocked(graph.indices, flatA.reshape(-1))
+
+    # tier B: deg <= fB by construction — take every neighbor (no RNG)
+    colB = jax.lax.broadcasted_iota(jnp.int32, (VB, fB), 1)
+    validB = (colB < jnp.minimum(deg_p[VA:], fB)[:, None]) & ok_p[VA:, None]
+    flatB = jnp.clip(off_p[VA:][:, None] + colB.astype(ptr_dtype), 0, E_idx)
+    nbrB = take_1d_blocked(graph.indices, flatB.reshape(-1))
+
+    valid = jnp.concatenate([validA.reshape(-1), validB.reshape(-1)])
+    nbr = jnp.concatenate([nbrA, nbrB])
+    E = VA * f + VB * fB
+    slot = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0).squeeze(-1)
+    src_local = jnp.where(valid, V + slot, -1)
+    dstA = jnp.broadcast_to(order[:VA, None], (VA, f)).reshape(-1)
+    dstB = jnp.broadcast_to(order[VA:, None], (VB, fB)).reshape(-1)
+    dst_local = jnp.where(valid, jnp.concatenate([dstA, dstB]), -1)
+    unique = jnp.concatenate([cur, jnp.where(valid, nbr, -1)])
+    num_unique = num_cur + jnp.sum(valid).astype(jnp.int32)
+    counts = None
+    if with_out_degrees:
+        counts = jnp.concatenate(
+            [jnp.zeros((V,), jnp.int32), valid.astype(jnp.int32)]
+        )
+    blk = Block(
+        src_local=src_local,
+        dst_local=dst_local,
+        mask=valid,
+        num_src=num_unique.astype(jnp.int32),
+        num_dst=num_cur.astype(jnp.int32),
+        src_out_deg=counts,
+        slots_per_dst=None,
+        src_slice_offset=V,
+        tier_split=(VA, f, VB, fB),
+        dst_invperm=inv,
+    )
+    return blk, unique, num_unique, ovf
+
+
 # ---------------------------------------------------------------------------
 # multi-layer pipeline (DoGPUSample analog, cuda_loops.cc:50-267)
 # ---------------------------------------------------------------------------
@@ -588,6 +696,26 @@ def multi_layer_sample(
         fanout = plan.fanouts[hop]
         last = hop == plan.num_layer - 1
         k = jax.random.fold_in(key, hop)
+
+        if (
+            last
+            and not dedup_last_hop
+            and plan.tier_a_cap is not None
+            and sample_type in (SampleType.KHOP0, SampleType.KHOP2)
+        ):
+            # degree-tiered fast path (uniform-without-replacement only:
+            # take-all on the small tier is distribution-identical there,
+            # but NOT for with-replacement/weighted samplers)
+            blk, unique, num_unique, t_ovf = _tiered_last_hop(
+                k, graph, cur, num_cur, fanout, plan.tier_a_cap,
+                plan.tier_b_fanout, with_out_degrees,
+            )
+            overflowed = overflowed | t_ovf
+            blocks_rev.append(blk)
+            cur = unique
+            num_cur = num_unique
+            continue
+
         nbrs, valid, fetch_ovf = sample_layer(
             k, graph, cur, fanout, sample_type
         )
