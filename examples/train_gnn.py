@@ -30,12 +30,7 @@ from fgnn_tpu.config import RunArch
 from fgnn_tpu.utils.logging import log_test_result
 from fgnn_tpu.utils.profiler import Profiler
 
-DEFAULT_SAMPLE = {
-    "gcn": "khop2",
-    "graphsage": "khop0",
-    "pinsage": "random_walk",
-    "gat": "khop2",
-}
+from exp.common.predict import MODEL_SAMPLE_TYPE as DEFAULT_SAMPLE
 
 
 def main():

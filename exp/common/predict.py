@@ -36,6 +36,16 @@ from typing import Dict, Optional
 HERE = os.path.dirname(os.path.abspath(__file__))
 CALIB_PATH = os.path.join(HERE, "chip_calibration.json")
 
+# canonical model -> default sample type, shared by the training app
+# (examples/train_gnn.py) and every exp runner/annotator so calibration
+# signatures can never drift from what the app actually ran
+MODEL_SAMPLE_TYPE = {
+    "gcn": "khop2",
+    "graphsage": "khop0",
+    "pinsage": "random_walk",
+    "gat": "khop2",
+}
+
 # v5e ICI ~ 1.6 Tbps/link => ~200 GB/s usable per direction; the wave
 # transfer is a rounding error next to stage times at these shapes, but
 # carry it so large waves are not silently free.

@@ -15,7 +15,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.predict import annotate_prediction, config_sig
+from exp.common.predict import (MODEL_SAMPLE_TYPE, annotate_prediction,
+                               config_sig)
 from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
                                write_table)
 
@@ -59,6 +60,9 @@ def main():
                         env=env)
             r.config["system"] = system
             r.config["workers"] = n
+            r.config["synthetic_nodes"] = args.synthetic_nodes
+            r.config["sample_type"] = MODEL_SAMPLE_TYPE.get(
+                args.model, "khop2")
             results.append(r)
 
     # predicted multi-chip epoch from real-chip stage calibration

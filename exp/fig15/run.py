@@ -15,7 +15,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.predict import annotate_prediction, config_sig
+from exp.common.predict import (MODEL_SAMPLE_TYPE, annotate_prediction,
+                               config_sig)
 from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
                                write_table)
 
@@ -56,12 +57,14 @@ def main():
             "--profile-level", "2",
         ], os.path.join(HERE, "run-logs"), tag, env=env)
         r.config["split"] = tag
+        r.config["synthetic_nodes"] = args.synthetic_nodes
+        r.config["sample_type"] = MODEL_SAMPLE_TYPE.get(
+            args.model, "khop2")
         results.append(r)
 
     sig = config_sig(args.model, args.synthetic_nodes, args.batch_size,
                      (5, 10, 15),
-                     {"gcn": "khop2", "graphsage": "khop0",
-                      "pinsage": "random_walk"}.get(args.model, "khop2"))
+                     MODEL_SAMPLE_TYPE.get(args.model, "khop2"))
     annotate_prediction(results, sig)
     meta = (cpu_mesh_meta(max(args.trainer_counts) + 1)
             if args.cpu_mesh else None)

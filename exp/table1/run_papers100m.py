@@ -167,9 +167,17 @@ def run_row(row, ds, args):
             out["epoch_time_l2"] = round(
                 prof.epoch_average("epoch_total_time"), 3)
             del eng
-        except Exception as e:  # keep the headline numbers (OOM at 111M)
-            print(f"[{row}] stage pass failed ({type(e).__name__}); "
-                  f"keeping headline columns", flush=True)
+        except Exception as e:
+            # expected failure mode at 111M: the level-2 engine cannot fit
+            # next to the headline pass's HBM residue (allocator error).
+            # Anything else is a BUG — re-raise so the parent marks the
+            # phase failed instead of writing a silently partial artifact.
+            msg = f"{type(e).__name__}: {e}"
+            if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg:
+                print(f"[{row}] stage pass OOM; keeping headline columns",
+                      flush=True)
+            else:
+                raise
     return out
 
 
@@ -212,6 +220,7 @@ def main():
                 "--dev-train-frac", str(args.dev_train_frac)]
         phases = (["headline"] if args.skip_stages
                   else ["headline", "stages"])
+        failed = []
         for row in args.rows:
             for phase in phases:
                 r = subprocess.run(
@@ -219,10 +228,18 @@ def main():
                 if r.returncode != 0:
                     print(f"[table1-p100m] row {row} phase {phase} "
                           f"FAILED rc={r.returncode}", flush=True)
+                    failed.append((row, phase))
+        if failed:
+            print(f"[table1-p100m] {len(failed)} child run(s) failed: "
+                  f"{failed}", flush=True)
+            sys.exit(1)
         return
 
     results = []
-    # merge with rows measured by earlier (sub)invocations
+    # merge with rows measured by earlier (sub)invocations — but only
+    # rows whose parameters match this invocation (a prior run at a
+    # different --num-node/--cache-percentage must not survive into an
+    # artifact whose meta claims the new scale for every row)
     prior = {}
     if os.path.exists(out_json):
         try:
@@ -234,11 +251,21 @@ def main():
     for row in args.rows:
         frac = (args.dev_train_frac if row in ("dev", "host")
                 else args.train_frac)
+        params = {"num_node": args.num_node, "train_frac": frac}
+        if row == "cache":
+            params["cache_percentage"] = args.cache_percentage
+        old = dict(prior.get(ROW_LABEL[row], {}))
+        if any(old.get(k) != v for k, v in params.items()):
+            if old:
+                print(f"[table1-p100m] dropping stale prior row "
+                      f"{ROW_LABEL[row]} (params changed)", flush=True)
+            old = {}
         ds = load_p100m(args.cache_dir, args.num_node, frac)
         print(f"[table1-p100m] row {row} (train_frac {frac}, "
               f"phase {args.phase})", flush=True)
-        merged = dict(prior.get(ROW_LABEL[row], {}))
+        merged = old
         merged.update(run_row(row, ds, args))
+        merged.update(params)
         prior[ROW_LABEL[row]] = merged
     results = [prior[ROW_LABEL[r]] for r in ROWS if ROW_LABEL[r] in prior]
 

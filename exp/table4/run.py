@@ -13,7 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.predict import annotate_prediction, config_sig
+from exp.common.predict import (MODEL_SAMPLE_TYPE, annotate_prediction,
+                               config_sig)
 from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
                                write_table)
 
@@ -68,6 +69,8 @@ def main():
                         f"{model}_{arch}", env=env)
             r.config["model"] = model
             r.config["run_arch"] = arch
+            r.config["synthetic_nodes"] = args.synthetic_nodes
+            r.config["sample_type"] = MODEL_SAMPLE_TYPE[model]
             # stage split from a second, profile-level-2 pass
             rp = run_app(app + ["--profile-level", "2"],
                          os.path.join(HERE, "run-logs"),
@@ -78,8 +81,7 @@ def main():
                     r.values[k] = rp.values[k]
             results.append(r)
 
-    st_map = {"gcn": "khop2", "graphsage": "khop0",
-              "pinsage": "random_walk"}
+    st_map = MODEL_SAMPLE_TYPE
     for model in args.models:
         sig = config_sig(model, args.synthetic_nodes, args.batch_size,
                          (5, 10, 15), st_map.get(model, "khop2"))

@@ -13,7 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-from exp.common.predict import annotate_prediction, config_sig
+from exp.common.predict import (MODEL_SAMPLE_TYPE, annotate_prediction,
+                               config_sig)
 from exp.common.runner import (cpu_mesh_meta, run_app, write_json,
                                write_table)
 
@@ -73,6 +74,8 @@ def main():
         r = run_app(app, os.path.join(HERE, "run-logs"), tag.replace("+", "_"),
                     env=env)
         r.config["split"] = tag
+        r.config["synthetic_nodes"] = args.synthetic_nodes
+        r.config["sample_type"] = MODEL_SAMPLE_TYPE[args.model]
         # second pass at profile level 2: per-stage split (stage timers
         # force a sync per stage, so the headline epoch_time comes from
         # the level-1 run above — the reference's profiled-run convention)
@@ -84,8 +87,7 @@ def main():
                 r.values[k] = rp.values[k]
         results.append(r)
 
-    st_map = {"gcn": "khop2", "graphsage": "khop0",
-              "pinsage": "random_walk"}
+    st_map = MODEL_SAMPLE_TYPE
     sig = config_sig(args.model, args.synthetic_nodes, args.batch_size,
                      (5, 10, 15), st_map.get(args.model, "khop2"))
     annotate_prediction(results, sig)

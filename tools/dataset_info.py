@@ -53,13 +53,32 @@ def graph_properties(indptr, indices, num_node):
     codes_sorted = np.sort(codes)
     out["duplicate_edges"] = int((codes_sorted[1:] == codes_sorted[:-1]).sum())
 
-    # reverse-edge count: how many (src, dst) have (dst, src) present
-    rev = dst * num_node + src
-    pos = np.searchsorted(codes_sorted, rev)
-    pos = np.clip(pos, 0, num_edge - 1)
-    out["reverse_edges"] = int((codes_sorted[pos] == rev).sum())
+    # reverse-edge count, multiplicity-aware: edge (s,d) with multiplicity
+    # m matches min(m, multiplicity of (d,s)) reverse edges — a membership
+    # test alone would call an asymmetric multigraph (two 0->1, one 1->0)
+    # undirected. Computed per distinct code via run-length counts.
+    rev_sorted = np.sort(dst * num_node + src)
+    out["reverse_edges"] = 0
+    if num_edge:
+        uc, cc = _unique_counts(codes_sorted)
+        ur, cr = _unique_counts(rev_sorted)
+        pos = np.searchsorted(ur, uc)
+        pos_c = np.clip(pos, 0, len(ur) - 1)
+        hit = ur[pos_c] == uc
+        out["reverse_edges"] = int(
+            np.minimum(cc, np.where(hit, cr[pos_c], 0)).sum()
+        )
     out["is_undirected"] = out["reverse_edges"] == num_edge
     return out
+
+
+def _unique_counts(sorted_codes):
+    """(values, counts) of an already-sorted 1-D array."""
+    first = np.ones(len(sorted_codes), dtype=bool)
+    first[1:] = sorted_codes[1:] != sorted_codes[:-1]
+    starts = np.flatnonzero(first)
+    counts = np.diff(np.append(starts, len(sorted_codes)))
+    return sorted_codes[starts], counts
 
 
 def main():

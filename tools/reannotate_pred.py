@@ -14,48 +14,48 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from exp.common.predict import annotate_prediction, config_sig
+from exp.common.predict import (MODEL_SAMPLE_TYPE, annotate_prediction,
+                                config_sig)
 from exp.common.runner import RunResult, write_json, write_table
 
 EXP = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "exp")
 
-# artifact -> (columns, sig builder over the artifact's saved configs)
+
+def _strict_sig(c):
+    """Signature from a saved run config — no silent defaults.
+
+    The runners record synthetic_nodes and sample_type since round 5; an
+    artifact missing them (or a model outside the shared map) returns
+    None and its rows keep pred_epoch_time = X with a visible warning,
+    rather than being annotated against a guessed calibration.
+    """
+    missing = [k for k in ("model", "synthetic_nodes", "batch_size")
+               if k not in c]
+    if missing:
+        print(f"#   skip row (config missing {missing}): re-run the exp "
+              "runner to record them", flush=True)
+        return None
+    st = c.get("sample_type") or MODEL_SAMPLE_TYPE.get(c["model"])
+    if st is None:
+        print(f"#   skip row (unknown model {c['model']!r})", flush=True)
+        return None
+    return config_sig(c["model"], int(c["synthetic_nodes"]),
+                      int(c["batch_size"]), (5, 10, 15), st)
+
+
+# artifact -> displayed columns (sig comes from _strict_sig for all)
 SPECS = {
-    "table4": (
-        ["model", "run_arch", "num_step", "epoch_time", "sample_time",
-         "copy_time", "extract_time", "train_time", "init_time",
-         "pred_epoch_time"],
-        lambda c: config_sig(
-            c["model"], int(c.get("synthetic_nodes", 200000)),
-            int(c["batch_size"]),
-            (5, 10, 15),
-            {"gcn": "khop2", "graphsage": "khop0",
-             "pinsage": "random_walk"}[c["model"]]),
-    ),
-    "table5": (
-        ["split", "num_step", "epoch_time", "epoch_time:min", "sample_time",
-         "copy_time", "extract_time", "train_time", "pred_epoch_time"],
-        lambda c: config_sig(
-            c["model"], int(c.get("synthetic_nodes", 200000)),
-            int(c["batch_size"]), (5, 10, 15),
-            {"gcn": "khop2", "graphsage": "khop0",
-             "pinsage": "random_walk"}[c["model"]]),
-    ),
-    "fig14": (
-        ["system", "workers", "num_step", "epoch_time", "epoch_time:min",
-         "pred_epoch_time"],
-        lambda c: config_sig(
-            c["model"], int(c.get("synthetic_nodes", 100000)),
-            int(c["batch_size"]), (5, 10, 15), "khop2"),
-    ),
-    "fig15": (
-        ["split", "num_step", "sample_time", "copy_time", "train_time",
-         "epoch_time", "pred_epoch_time"],
-        lambda c: config_sig(
-            c["model"], int(c.get("synthetic_nodes", 100000)),
-            int(c["batch_size"]), (5, 10, 15), "khop2"),
-    ),
+    "table4": ["model", "run_arch", "num_step", "epoch_time", "sample_time",
+               "copy_time", "extract_time", "train_time", "init_time",
+               "pred_epoch_time"],
+    "table5": ["split", "num_step", "epoch_time", "epoch_time:min",
+               "sample_time", "copy_time", "extract_time", "train_time",
+               "pred_epoch_time"],
+    "fig14": ["system", "workers", "num_step", "epoch_time",
+              "epoch_time:min", "pred_epoch_time"],
+    "fig15": ["split", "num_step", "sample_time", "copy_time", "train_time",
+              "epoch_time", "pred_epoch_time"],
 }
 
 
@@ -65,7 +65,7 @@ def main():
     args = p.parse_args()
 
     for name in args.artifacts:
-        cols, sig_of = SPECS[name]
+        cols = SPECS[name]
         path = os.path.join(EXP, name, f"{name}.json")
         with open(path) as f:
             blob = json.load(f)
@@ -76,7 +76,10 @@ def main():
         by_sig = {}
         for r in results:
             r.values.pop("pred_epoch_time", None)
-            by_sig.setdefault(sig_of(r.config), []).append(r)
+            sig = _strict_sig(r.config)
+            if sig is None:
+                continue
+            by_sig.setdefault(sig, []).append(r)
         for sig, rs in by_sig.items():
             annotate_prediction(rs, sig)
             filled = sum(1 for r in rs
