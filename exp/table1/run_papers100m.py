@@ -278,6 +278,11 @@ def main():
     with open(os.path.join(HERE, "table1_papers100m.dat"), "w") as f:
         for k, v in meta.items():
             f.write(f"# {k}={v}\n")
+        f.write("# NOTE: sample/copy/extract/train columns come from a "
+                "SEPARATE force-synced profile-level-2 pass whose epoch "
+                "wall-clock is epoch_time_l2; per-stage syncs serialize "
+                "the pipeline, so those columns sum to epoch_time_l2, "
+                "NOT to the headline epoch_time (async/pipelined pass).\n")
         f.write("\t".join(cols) + "\n")
         for r in results:
             f.write("\t".join(str(r.get(c, "X")) for c in cols) + "\n")

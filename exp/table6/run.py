@@ -29,6 +29,12 @@ def main():
     p.add_argument("--batch-size", type=int, default=2000)
     p.add_argument("--cache-percentage", type=float, default=0.2)
     p.add_argument("--cpu-mesh", action="store_true")
+    p.add_argument("--repeats", type=int, default=1,
+                   help="re-run each config N times and take per-column "
+                        "MIN of init:* timings: a one-shot device_put "
+                        "over the tunnel has measured 54x spread on "
+                        "identical placements (round-4 table6), so "
+                        "single-shot init columns are noise-dominated")
     args = p.parse_args()
 
     env = {"FGNN_TPU_FEAT_HBM_BUDGET": "0"}
@@ -56,13 +62,35 @@ def main():
         ("random", []),
     ):
         cp = policy if not policy.startswith("pre_sample") else "pre_sample"
-        print(f"[table6] {policy}", flush=True)
-        r = run_app(base + ["--cache-policy", cp] + extra,
-                    os.path.join(HERE, "run-logs"), policy, env=env)
+        reps = []
+        for i in range(max(1, args.repeats)):
+            print(f"[table6] {policy} (rep {i + 1}/{args.repeats})",
+                  flush=True)
+            tag = policy if args.repeats == 1 else f"{policy}_rep{i}"
+            reps.append(run_app(base + ["--cache-policy", cp] + extra,
+                                os.path.join(HERE, "run-logs"), tag,
+                                env=env))
+        r = reps[0]
+        if len(reps) > 1:
+            # min over repeats for every init/time column: one-shot
+            # transfers over the tunnel have huge spread; min is the
+            # cleanest estimator of the actual placement cost
+            for k in list(r.values):
+                if k.startswith("init") or k.startswith("epoch_time"):
+                    try:
+                        r.values[k] = f"{min(float(x.values[k]) for x in reps if k in x.values):.4f}"
+                    except (ValueError, TypeError):
+                        pass
         r.config["policy"] = policy
+        r.config["repeats"] = args.repeats
         results.append(r)
 
-    meta = cpu_mesh_meta(8) if args.cpu_mesh else tunnel_meta()
+    meta = dict(cpu_mesh_meta(8) if args.cpu_mesh else tunnel_meta())
+    meta["init_columns"] = (
+        f"min of {args.repeats} repeat(s); single-shot tunnel transfers "
+        "have measured 54x spread on identical placements — treat "
+        "init:copy as a tunnel artifact, not a policy property"
+    )
     write_table(
         results,
         ["policy", "init:load_dataset", "init:copy", "init:build_cache",
