@@ -95,9 +95,11 @@ def run_row(row, ds, args):
 
     def build(profile_level):
         Profiler.reset()
+        st = {"gcn": SampleType.KHOP2, "graphsage": SampleType.KHOP2,
+              "pinsage": SampleType.RANDOM_WALK}[args.model]
         kw = dict(
-            model="graphsage", fanout=(25, 10), batch_size=8000,
-            num_hidden=256, sample_type=SampleType.KHOP2, dropout=0.5,
+            model=args.model, fanout=tuple(args.fanout), batch_size=8000,
+            num_hidden=256, sample_type=st, dropout=0.5,
             lr=0.003, profile_level=profile_level,
             # the stage pass must take the serial stepwise path — the
             # split-pipelined epoch only logs L1 items (its overlap makes
@@ -105,6 +107,10 @@ def run_row(row, ds, args):
             # Extract/Copy split
             pipeline=profile_level < 2,
         )
+        if args.model == "pinsage":
+            kw.update(num_layer_rw=2, num_random_walk=4,
+                      random_walk_length=3, num_neighbor=5)
+            kw.pop("fanout", None)
         if row == "host":
             kw["arch"] = RunArch.ARCH0
             os.environ["FGNN_TPU_FEAT_HBM_BUDGET"] = "0"
@@ -126,7 +132,7 @@ def run_row(row, ds, args):
 
         return OneChipEngine(cfg, ds), cfg
 
-    out = {"system": ROW_LABEL[row]}
+    out = {"system": ROW_LABEL[row], "model": args.model}
     phase = getattr(args, "phase", "both")
     if phase in ("both", "headline"):
         # pass 1: headline epoch time at level 1
@@ -184,6 +190,15 @@ def run_row(row, ds, args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--cache-dir", default="/root/p100m_ds")
+    p.add_argument("--model", default="graphsage",
+                   choices=["graphsage", "gcn", "pinsage"],
+                   help="gcn [5,10,15] is the reference's actual Table 1 "
+                        "workload (exp/table1/README.md:95-104)")
+    p.add_argument("--fanout", nargs="+", type=int, default=None)
+    p.add_argument("--out-prefix", default="table1_papers100m",
+                   help="artifact basename; smoke runs should redirect "
+                        "(e.g. /tmp/t1smoke) so CPU rows never merge into "
+                        "the chip artifact")
     p.add_argument("--num-node", type=int, default=111_059_956)
     p.add_argument("--num-epoch", type=int, default=3)
     p.add_argument("--cache-percentage", type=float, default=0.10)
@@ -200,10 +215,14 @@ def main():
                         "HBM — the parent runs headline and stage passes "
                         "as separate subprocesses")
     args = p.parse_args()
+    if args.fanout is None:
+        args.fanout = [5, 10, 15] if args.model == "gcn" else [25, 10]
 
     from exp.common.runner import tunnel_meta
 
-    out_json = os.path.join(HERE, "table1_papers100m.json")
+    pref = args.out_prefix
+    out_json = (pref + ".json" if os.sep in pref
+                else os.path.join(HERE, pref + ".json"))
     if len(args.rows) > 1:
         # one subprocess per row: each row re-uploads the ~7GB graph, and
         # a fresh process is the only reliable way to return the previous
@@ -213,11 +232,14 @@ def main():
 
         base = [sys.executable, os.path.abspath(__file__),
                 "--cache-dir", args.cache_dir,
+                "--model", args.model,
+                "--fanout", *[str(f) for f in args.fanout],
                 "--num-node", str(args.num_node),
                 "--num-epoch", str(args.num_epoch),
                 "--cache-percentage", str(args.cache_percentage),
                 "--train-frac", str(args.train_frac),
-                "--dev-train-frac", str(args.dev_train_frac)]
+                "--dev-train-frac", str(args.dev_train_frac),
+                "--out-prefix", args.out_prefix]
         phases = (["headline"] if args.skip_stages
                   else ["headline", "stages"])
         failed = []
@@ -244,17 +266,18 @@ def main():
     if os.path.exists(out_json):
         try:
             with open(out_json) as f:
-                prior = {r["system"]: r
+                prior = {(r["system"], r.get("model", "graphsage")): r
                          for r in json.load(f).get("results", [])}
         except Exception:
             pass
     for row in args.rows:
         frac = (args.dev_train_frac if row in ("dev", "host")
                 else args.train_frac)
-        params = {"num_node": args.num_node, "train_frac": frac}
+        params = {"num_node": args.num_node, "train_frac": frac,
+                  "model": args.model}
         if row == "cache":
             params["cache_percentage"] = args.cache_percentage
-        old = dict(prior.get(ROW_LABEL[row], {}))
+        old = dict(prior.get((ROW_LABEL[row], args.model), {}))
         if any(old.get(k) != v for k, v in params.items()):
             if old:
                 print(f"[table1-p100m] dropping stale prior row "
@@ -266,16 +289,17 @@ def main():
         merged = old
         merged.update(run_row(row, ds, args))
         merged.update(params)
-        prior[ROW_LABEL[row]] = merged
-    results = [prior[ROW_LABEL[r]] for r in ROWS if ROW_LABEL[r] in prior]
+        prior[(ROW_LABEL[row], args.model)] = merged
+    results = [prior[k] for r in ROWS for m in ("graphsage", "gcn", "pinsage")
+               for k in [(ROW_LABEL[r], m)] if k in prior]
 
     meta = dict(tunnel_meta())
     meta["dataset"] = (f"papers100M-shape synthetic {args.num_node} nodes "
                        "(zero-egress env; real download impossible)")
-    cols = ["system", "sample_time", "copy_time", "extract_time",
+    cols = ["system", "model", "sample_time", "copy_time", "extract_time",
             "train_time", "epoch_time", "epoch_time_l2", "cache_hit_rate",
             "init_time"]
-    with open(os.path.join(HERE, "table1_papers100m.dat"), "w") as f:
+    with open(out_json[:-5] + ".dat", "w") as f:
         for k, v in meta.items():
             f.write(f"# {k}={v}\n")
         f.write("# NOTE: sample/copy/extract/train columns come from a "
@@ -286,9 +310,9 @@ def main():
         f.write("\t".join(cols) + "\n")
         for r in results:
             f.write("\t".join(str(r.get(c, "X")) for c in cols) + "\n")
-    with open(os.path.join(HERE, "table1_papers100m.json"), "w") as f:
+    with open(out_json, "w") as f:
         json.dump({"meta": meta, "results": results}, f, indent=2)
-    print(f"[table1-p100m] wrote table1_papers100m.dat/.json", flush=True)
+    print(f"[table1-p100m] wrote {out_json[:-5]}.dat/.json", flush=True)
 
 
 if __name__ == "__main__":
