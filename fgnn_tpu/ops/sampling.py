@@ -594,20 +594,24 @@ def _tiered_last_hop(
     deg = (graph.indptr[safe_in + 1] - off).astype(jnp.int32)
     deg = jnp.where(node_ok, deg, 0)
 
-    # stable partition: high-degree first, original order within tiers
+    # stable partition, high-degree first: ONE multi-operand sort carries
+    # order, deg, and off together — three separate take(x, order)
+    # permutes are 80K ELEMENT-gathers each (the slow primitive
+    # take_1d_blocked exists to avoid). node_ok needs no permute at all:
+    # padding entries have deg == 0, which yields zero valid picks in
+    # both tiers by construction.
     isA = deg > fB
-    order = jnp.argsort(jnp.where(isA, 0, 1).astype(jnp.int8), stable=True)
-    order = order.astype(jnp.int32)
-    inv = jnp.argsort(order).astype(jnp.int32)
+    iota_v = jax.lax.iota(jnp.int32, V)
+    _, order, deg_p, off_p = jax.lax.sort(
+        ((~isA).astype(jnp.int32), iota_v, deg, off),
+        num_keys=2,              # (tier, original position): stable
+    )
+    inv = jax.lax.sort((order, iota_v), num_keys=1)[1]
     ovf = jnp.sum(isA) > VA
-    deg_p = jnp.take(deg, order)
-    off_p = jnp.take(off, order)
-    ok_p = jnp.take(node_ok, order)
     E_idx = graph.indices.shape[0] - 1
 
     # tier A: Floyd at full fanout (deg <= f rows degrade to take-all)
     idxA, validA = _floyd_without_replacement(key, deg_p[:VA], f)
-    validA = validA & ok_p[:VA, None]
     flatA = jnp.clip(
         off_p[:VA][:, None] + jnp.maximum(idxA, 0).astype(ptr_dtype),
         0, E_idx,
@@ -616,7 +620,7 @@ def _tiered_last_hop(
 
     # tier B: deg <= fB by construction — take every neighbor (no RNG)
     colB = jax.lax.broadcasted_iota(jnp.int32, (VB, fB), 1)
-    validB = (colB < jnp.minimum(deg_p[VA:], fB)[:, None]) & ok_p[VA:, None]
+    validB = colB < jnp.minimum(deg_p[VA:], fB)[:, None]
     flatB = jnp.clip(off_p[VA:][:, None] + colB.astype(ptr_dtype), 0, E_idx)
     nbrB = take_1d_blocked(graph.indices, flatB.reshape(-1))
 
