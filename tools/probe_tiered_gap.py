@@ -80,23 +80,26 @@ def main():
     g, feat, label = eng.graph, eng.feat_dev, eng.label_dev
     plan = eng.plan
 
-    def body_plain(st, inp):
+    # big tables enter as jit ARGUMENTS (engine._sample docstring) — a
+    # closure constant embeds 256MB of features into the HLO and the
+    # remote compile service rejects the body (HTTP 413)
+    def body_plain(g_, f_, l_, st, inp):
         seeds, n, i = inp
         key = jax.random.fold_in(jax.random.key(9), i)
-        b = multi_layer_sample(key, g, seeds, n, plan, cfg.sample_type,
+        b = multi_layer_sample(key, g_, seeds, n, plan, cfg.sample_type,
                                dedup_last_hop=False)
-        feats = device_gather(feat, b.input_nodes)
-        labels = label_gather(label, b.output_nodes)
+        feats = device_gather(f_, b.input_nodes)
+        labels = label_gather(l_, b.output_nodes)
         st2, loss, acc = step_fn(st, b, feats, labels, key)
         return st2, loss
 
-    def body_stats(st, inp):
+    def body_stats(g_, f_, l_, st, inp):
         seeds, n, i = inp
         key = jax.random.fold_in(jax.random.key(9), i)
-        b = multi_layer_sample(key, g, seeds, n, plan, cfg.sample_type,
+        b = multi_layer_sample(key, g_, seeds, n, plan, cfg.sample_type,
                                dedup_last_hop=False)
-        feats = device_gather(feat, b.input_nodes)
-        labels = label_gather(label, b.output_nodes)
+        feats = device_gather(f_, b.input_nodes)
+        labels = label_gather(l_, b.output_nodes)
         st2, loss, acc = step_fn(st, b, feats, labels, key)
         n_edges = sum(jnp.sum(bl.mask).astype(jnp.int32) for bl in b.blocks)
         return st2, (loss, acc, n_edges, b.overflowed)
@@ -106,17 +109,19 @@ def main():
     for name, body in (("C scan, no stats", body_plain),
                        ("D scan + stats", body_stats)):
         @jax.jit
-        def prog(st, sa, na):
-            st2, aux = jax.lax.scan(body, st, (sa, na, idx))
+        def prog(g_, f_, l_, st, sa, na):
+            st2, aux = jax.lax.scan(
+                lambda st, inp: body(g_, f_, l_, st, inp), st,
+                (sa, na, idx))
             first = aux[0] if isinstance(aux, tuple) else aux
             return jnp.sum(first)
 
-        r = prog(eng.state, seeds_all, nums_all)
+        r = prog(g, feat, label, eng.state, seeds_all, nums_all)
         float(r)
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(prog(eng.state, seeds_all, nums_all))
+            float(prog(g, feat, label, eng.state, seeds_all, nums_all))
             ts.append(time.perf_counter() - t0)
         t = min(ts)
         print(f"{name:26s} {t*1e3/steps:8.2f} ms/step ({t:.3f} s/epoch)",
