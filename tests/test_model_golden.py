@@ -232,6 +232,29 @@ def test_gatconv_matches_dgl_golden(regular):
 
 
 @pytest.mark.fast
+def test_sageconv_bf16_tracks_f32_golden():
+    """The production compute dtype is bfloat16 (params stay f32); the
+    bf16 activations must track the f32 DGL golden within bf16's ~3
+    decimal digits."""
+    rng = np.random.default_rng(6)
+    src_cap, dst_cap = 64, 16
+    block = make_block(rng, src_cap, dst_cap, regular=True)
+    h = rng.standard_normal((src_cap, 16)).astype(np.float32)
+    m = SAGEConv(out_dim=8, dtype=jnp.bfloat16)
+    params = m.init(jax.random.key(7), block, jnp.asarray(h), dst_cap)
+    out = np.asarray(
+        m.apply(params, block, jnp.asarray(h), dst_cap)
+    ).astype(np.float32)
+    p = params["params"]
+    gold = golden_sageconv(
+        block, h, dst_cap,
+        np.asarray(p["fc_self"]["kernel"]), np.asarray(p["fc_self"]["bias"]),
+        np.asarray(p["fc_neigh"]["kernel"]),
+    )
+    np.testing.assert_allclose(out, gold, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.fast
 def test_two_layer_graphsage_model_matches_composed_golden():
     """Whole-model forward (2 layers, deterministic) vs composed goldens:
     pins the layer wiring (block order, relu placement, dst prefixing)."""
