@@ -75,16 +75,30 @@ def load_calibration(sig: str, path: str = CALIB_PATH) -> Optional[Dict]:
 
 def predict_fgnn(cal: Dict, S: int, T: int, steps: int,
                  ici_gbps: float = DEFAULT_ICI_GBPS) -> float:
-    """Predicted arch5 epoch seconds on real chips."""
-    sampler = math.ceil(steps / S) * cal["sample_ms"]
-    trainer = math.ceil(steps / T) * (cal["extract_ms"] + cal["train_ms"])
+    """Predicted arch5 epoch seconds on real chips.
+
+    ``pipeline_scale`` (tools/validate_cost_model.py hold-out) anchors
+    the per-call-synced stage measurements to a REAL pipelined arch1
+    epoch: without it the raw stage sums over-predict 2-3x (each
+    calibration call pays a tunnel sync the pipelined epoch does not).
+    Stage RATIOS still come from the synced pass — a known bias the
+    hold-out cannot remove with one anchor equation.
+    """
+    ps = cal.get("pipeline_scale", 1.0)
+    sampler = math.ceil(steps / S) * cal["sample_ms"] * ps
+    trainer = math.ceil(steps / T) * (
+        cal["extract_ms"] + cal["train_ms"]) * ps
     transfer = steps * cal.get("wave_mb", 0.0) / (ici_gbps * 1e3) * 1e3  # ms
     return (max(sampler, trainer) + min(transfer, sampler + trainer)) / 1e3
 
 
-def predict_sgnn(cal: Dict, W: int, steps: int) -> float:
-    """Predicted arch6 epoch seconds on real chips."""
-    per = cal["sample_ms"] + cal["extract_ms"] + cal["train_ms"]
+def predict_sgnn(cal: Dict, W: int, steps: int,
+                 calibrated: bool = True) -> float:
+    """Predicted arch6 epoch seconds on real chips (see predict_fgnn
+    for pipeline_scale; pass calibrated=False for the RAW stage sum —
+    the hold-out uses that to measure the uncorrected model error)."""
+    ps = cal.get("pipeline_scale", 1.0) if calibrated else 1.0
+    per = (cal["sample_ms"] + cal["extract_ms"] + cal["train_ms"]) * ps
     return math.ceil(steps / W) * per / 1e3
 
 
