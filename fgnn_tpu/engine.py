@@ -136,7 +136,7 @@ class OneChipEngine:
                 indptr, np.asarray(ds.indices), np.asarray(ds.train_set),
                 cfg.batch_size, fan_sampling, seed=cfg.seed,
                 replace=False,
-                tier_candidates=(4, 6, 8, 10, 12, 16),
+                tier_candidates=(4, 6, 8, 10, 12, 14, 16, 20),
             )
         else:
             caps = calibrate_caps(

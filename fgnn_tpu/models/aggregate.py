@@ -69,15 +69,15 @@ def segment_agg(
         return agg
 
     ts = block.tier_split
-    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
-        # TIERED block (Block.tier_split): per-tier dense reshape+reduce
-        # in tier order, then ONE [V]-row gather (dst_invperm) restores
-        # original dst order — still no scatter.
-        VA, fA, VB, fB = ts
-        assert dst_cap == VA + VB, (dst_cap, ts)
+    if ts is not None and mask.shape[0] == sum(v * k for v, k in ts):
+        # TIERED block (Block.tier_split, ((cap, width), ...)): per-tier
+        # dense reshape+reduce in tier order, then ONE [V]-row gather
+        # (dst_invperm) restores original dst order — still no scatter.
+        assert dst_cap == sum(v for v, _ in ts), (dst_cap, ts)
         D = messages.shape[-1]
         sums, dens = [], []
-        for lo, v, k in ((0, VA, fA), (VA * fA, VB, fB)):
+        lo = 0
+        for v, k in ts:
             m = jax.lax.slice_in_dim(mask, lo, lo + v * k).reshape(v, k)
             msg = jax.lax.slice_in_dim(
                 messages, lo, lo + v * k
@@ -96,6 +96,7 @@ def segment_agg(
             else:
                 sums.append(jnp.where(m[..., None], msg, 0.0).sum(axis=1))
                 dens.append(m.sum(axis=1).astype(messages.dtype))
+            lo += v * k
         agg = jnp.concatenate(sums, axis=0)
         if mode in ("mean", "weighted_mean"):
             den = jnp.concatenate(dens, axis=0)
@@ -145,13 +146,13 @@ def segment_softmax(
         return (ex / denom).reshape(dst_cap * K, H)
 
     ts = block.tier_split
-    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
+    if ts is not None and mask.shape[0] == sum(v * k for v, k in ts):
         # TIERED block: per-tier softmax; edge layout preserved (each dst
         # owns one contiguous slot run inside its tier), no unperm needed
-        VA, fA, VB, fB = ts
         H = scores.shape[-1]
         outs = []
-        for lo, v, k in ((0, VA, fA), (VA * fA, VB, fB)):
+        lo = 0
+        for v, k in ts:
             m = jax.lax.slice_in_dim(mask, lo, lo + v * k).reshape(v, k, 1)
             s = jnp.where(
                 m,
@@ -163,6 +164,7 @@ def segment_softmax(
             ex = jnp.where(m, jnp.exp(s - smax), 0.0)
             denom = jnp.maximum(ex.sum(axis=1, keepdims=True), 1e-16)
             outs.append((ex / denom).reshape(v * k, H))
+            lo += v * k
         return jnp.concatenate(outs, axis=0)
 
     dst = jnp.where(mask, block.dst_local, dst_cap)
@@ -181,14 +183,16 @@ def in_degrees(block: Block, dst_cap: int) -> jnp.ndarray:
     if K is not None and mask.shape[0] == dst_cap * K:
         return mask.reshape(dst_cap, K).sum(axis=1).astype(jnp.float32)
     ts = block.tier_split
-    if ts is not None and mask.shape[0] == ts[0] * ts[1] + ts[2] * ts[3]:
-        VA, fA, VB, fB = ts
-        cnt = jnp.concatenate([
-            jax.lax.slice_in_dim(mask, 0, VA * fA).reshape(VA, fA)
-            .sum(axis=1),
-            jax.lax.slice_in_dim(mask, VA * fA, VA * fA + VB * fB)
-            .reshape(VB, fB).sum(axis=1),
-        ]).astype(jnp.float32)
+    if ts is not None and mask.shape[0] == sum(v * k for v, k in ts):
+        parts = []
+        lo = 0
+        for v, k in ts:
+            parts.append(
+                jax.lax.slice_in_dim(mask, lo, lo + v * k)
+                .reshape(v, k).sum(axis=1)
+            )
+            lo += v * k
+        cnt = jnp.concatenate(parts).astype(jnp.float32)
         return jnp.take(cnt, block.dst_invperm)
     dst = jnp.where(mask, block.dst_local, dst_cap)
     return jax.ops.segment_sum(

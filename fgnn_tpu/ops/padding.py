@@ -53,14 +53,24 @@ class SamplePlan:
     num_input_cap: Tuple[int, ...]     # cap on input (seed) count per hop
     num_edge_cap: Tuple[int, ...]      # cap on sampled edges per hop
     num_unique_cap: Tuple[int, ...]    # cap on unique output per hop
-    # degree-tiered LAST hop (no-dedup fast mode only): frontier vertices
-    # with deg > tier_b_fanout occupy the first tier_a_cap slots at full
-    # fanout; the rest take ALL their <= tier_b_fanout neighbors at width
-    # tier_b_fanout. Cuts edge-slot padding (the calibrated occupancy of
-    # a flat V*fanout cap is ~33% at bench shapes) and with it the two
-    # row-rate-bound gathers that dominate the step (PERF.md round 5).
-    tier_a_cap: Optional[int] = None
-    tier_b_fanout: Optional[int] = None
+    # degree-tiered LAST hop (no-dedup fast mode only): the frontier is
+    # partitioned by degree into tiers of DESCENDING slot width — tier 0
+    # Floyd-samples at the full fanout (vertices with deg above the next
+    # tier's width), every lower tier takes ALL its <= width neighbors
+    # (distribution-identical for uniform-without-replacement). Cuts
+    # edge-slot padding (a flat V*fanout cap is ~33%-occupied at bench
+    # shapes) and with it the row-rate-bound CSR/feature gathers that
+    # dominate the step (PERF.md round 5). ``tier_layout`` is a tuple of
+    # (vertex_cap, slot_width) pairs, caps summing to the frontier cap.
+    tier_layout: Optional[Tuple[Tuple[int, int], ...]] = None
+
+    @property
+    def tier_a_cap(self) -> Optional[int]:
+        return self.tier_layout[0][0] if self.tier_layout else None
+
+    @property
+    def tier_b_fanout(self) -> Optional[int]:
+        return self.tier_layout[-1][1] if self.tier_layout else None
 
     @property
     def num_layer(self) -> int:
@@ -133,27 +143,49 @@ def make_plan(
         n_uniq.append(uniq)
         cur = uniq
 
-    # --- degree-tiered last hop (see SamplePlan.tier_a_cap) -----------
-    # tier_stats: {fB: [per-probe count(frontier deg > fB)]} measured by
-    # calibrate_caps. Pick the small-tier width minimizing total slots
-    # (max-plus-range margin on the big-tier cap, like every other cap);
+    # --- degree-tiered last hop (see SamplePlan.tier_layout) -----------
+    # tier_stats: {t: [per-probe count(frontier deg > t)]} measured by
+    # calibrate_caps. Search threshold subsets (up to 3 take-all tiers
+    # below the Floyd tier) minimizing total slots, margining every
+    # tier-prefix cap with max-plus-range + scale like the other caps;
     # only engage when it saves >= 10% of the flat cap — below that the
     # partition sort + unpermute gather are not worth paying.
-    tier_a = tier_b = None
+    tier_layout = None
     if tier_stats:
+        import itertools
+
         V, f_last = n_in[-1], fan[-1]
-        best = None
-        for fB, counts in tier_stats.items():
-            if fB >= f_last or not counts:
-                continue
+
+        def prefix_cap(counts):
             hi, lo = max(counts), min(counts)
-            va = min(_round_up(int((hi + (hi - lo)) * scale)), V)
-            slots = va * f_last + (V - va) * fB
-            if best is None or slots < best[0]:
-                best = (slots, fB, va)
+            return min(_round_up(int((hi + (hi - lo)) * scale)), V)
+
+        cands = sorted(t for t, c in tier_stats.items()
+                       if t < f_last and c)
+        best = None
+        for k in (1, 2, 3):
+            for combo in itertools.combinations(cands, k):
+                ths = sorted(combo, reverse=True)   # descending widths
+                # prefix j holds vertices with deg > ths[j]; caps from
+                # the margined prefix counts, forced monotone
+                pref = []
+                for t in ths:
+                    p = prefix_cap(tier_stats[t])
+                    if pref and p < pref[-1]:
+                        p = pref[-1]
+                    pref.append(p)
+                if pref[-1] >= V:
+                    continue
+                caps = [pref[0]] + [
+                    pref[i] - pref[i - 1] for i in range(1, len(pref))
+                ] + [V - pref[-1]]
+                widths = [f_last] + list(ths)
+                slots = sum(c * w for c, w in zip(caps, widths))
+                if best is None or slots < best[0]:
+                    best = (slots, tuple(zip(caps, widths)))
         if best is not None and best[0] < 0.9 * n_edge[-1]:
             n_edge[-1] = best[0]
-            tier_b, tier_a = best[1], best[2]
+            tier_layout = best[1]
 
     return SamplePlan(
         batch_size=batch_size,
@@ -161,6 +193,5 @@ def make_plan(
         num_input_cap=tuple(n_in),
         num_edge_cap=tuple(n_edge),
         num_unique_cap=tuple(n_uniq),
-        tier_a_cap=tier_a,
-        tier_b_fanout=tier_b,
+        tier_layout=tier_layout,
     )

@@ -94,14 +94,14 @@ class Block:
         pytree_node=False, default=None
     )
     # degree-tiered layout (STATIC): edges are laid out as
-    # [VA x fA | VB x fB] over a degree-partitioned frontier — tier
-    # position t corresponds to ORIGINAL frontier position dst_perm-less
-    # via ``dst_invperm``: aggregation runs per tier as a dense
-    # reshape+reduce, concatenates in tier order [VA+VB, D], then one
-    # [V]-row gather with ``dst_invperm`` restores original dst order.
-    # ``dst_local`` stores ORIGINAL frontier positions so every generic
-    # (segment/sanity) consumer keeps working unchanged.
-    tier_split: Optional[Tuple[int, int, int, int]] = struct.field(
+    # [cap_0 x w_0 | cap_1 x w_1 | ...] over a degree-partitioned
+    # frontier (``tier_split`` = ((cap, width), ...)): aggregation runs
+    # per tier as a dense reshape+reduce, concatenates in tier order
+    # [sum(cap), D], then one [V]-row gather with ``dst_invperm``
+    # restores original dst order. ``dst_local`` stores ORIGINAL
+    # frontier positions so every generic (segment/sanity) consumer
+    # keeps working unchanged.
+    tier_split: Optional[Tuple[Tuple[int, int], ...]] = struct.field(
         pytree_node=False, default=None
     )
     dst_invperm: Optional[jnp.ndarray] = None   # [V] int32
@@ -559,9 +559,7 @@ def _tiered_last_hop(
     graph: CSRGraph,
     cur: jnp.ndarray,
     num_cur: jnp.ndarray,
-    fanout: int,
-    tier_a_cap: int,
-    tier_b_fanout: int,
+    tier_layout,
     with_out_degrees: bool,
 ):
     """Degree-tiered no-dedup last hop (uniform without replacement only).
@@ -570,23 +568,24 @@ def _tiered_last_hop(
     bench shapes (E[min(deg, fanout)] << fanout on skewed graphs), and
     the two dominant step costs — the CSR neighbor fetch and the feature
     gather — pay platform row-rate for every PADDED slot (PERF.md round
-    5 budget: 5.3 + 20.8 of 37.5 ms). This partitions the frontier by
-    degree: vertices with deg > fB keep ``fanout`` Floyd-sampled slots in
-    the first ``tier_a_cap`` rows; the rest (deg <= fB) take ALL their
-    neighbors at width ``fB`` — an identical sampling distribution
-    (uniform-without-replacement at fanout >= deg IS take-all), with the
-    calibrated slot count ~0.5x of the flat cap.
+    5 budget). ``tier_layout`` = ((cap_0, w_0), (cap_1, w_1), ...), caps
+    summing to the frontier cap, widths strictly descending: tier 0
+    Floyd-samples at the full fanout w_0; every lower tier holds
+    vertices with deg <= its width and takes ALL their neighbors — an
+    identical sampling distribution (uniform-without-replacement at
+    fanout >= deg IS take-all). Calibrated slot count is ~0.4-0.6x of
+    the flat cap (make_plan's tier search).
 
-    Returns ``(block, unique, num_unique, ovf)``. ``ovf`` flags more
-    than ``tier_a_cap`` high-degree vertices (clipped rows then emit
-    their first fB neighbors — surfaced exactly like every other cap
-    overflow; calibration sizes the cap with max-plus-range margin).
+    Returns ``(block, unique, num_unique, ovf)``. ``ovf`` flags any
+    tier-prefix cap exceeded (clipped vertices fall into a narrower
+    take-all tier and emit their first `width` neighbors — surfaced
+    exactly like every other cap overflow; calibration sizes every
+    prefix with max-plus-range margin).
     """
     V = cur.shape[0]
-    f = fanout
-    VA = tier_a_cap
-    VB = V - VA
-    fB = tier_b_fanout
+    caps = [c for c, _ in tier_layout]
+    widths = [w for _, w in tier_layout]
+    assert sum(caps) == V, (caps, V)
     node_ok = cur >= 0
     safe_in = jnp.where(node_ok, cur, 0)
     ptr_dtype = graph.indptr.dtype
@@ -594,44 +593,59 @@ def _tiered_last_hop(
     deg = (graph.indptr[safe_in + 1] - off).astype(jnp.int32)
     deg = jnp.where(node_ok, deg, 0)
 
-    # stable partition, high-degree first: ONE multi-operand sort carries
-    # order, deg, and off together — three separate take(x, order)
-    # permutes are 80K ELEMENT-gathers each (the slow primitive
-    # take_1d_blocked exists to avoid). node_ok needs no permute at all:
-    # padding entries have deg == 0, which yields zero valid picks in
-    # both tiers by construction.
-    isA = deg > fB
+    # tier class: 0 for deg > widths[1], else the narrowest take-all
+    # tier whose width covers deg (padding: deg 0 -> last tier, where it
+    # yields zero valid picks)
+    c = jnp.zeros((V,), jnp.int32)
+    for t in widths[1:]:
+        c = c + (deg <= t).astype(jnp.int32)
+
+    # stable partition by (class, position): ONE multi-operand sort
+    # carries order, deg, and off — separate take(x, order) permutes are
+    # 80K ELEMENT-gathers each (the slow primitive take_1d_blocked
+    # exists to avoid).
     iota_v = jax.lax.iota(jnp.int32, V)
     _, order, deg_p, off_p = jax.lax.sort(
-        ((~isA).astype(jnp.int32), iota_v, deg, off),
-        num_keys=2,              # (tier, original position): stable
+        (c, iota_v, deg, off), num_keys=2,
     )
     inv = jax.lax.sort((order, iota_v), num_keys=1)[1]
-    ovf = jnp.sum(isA) > VA
+
+    # any tier-prefix cap exceeded? (class <= j count vs prefix cap)
+    ovf = jnp.zeros((), bool)
+    pref = 0
+    for j in range(len(caps) - 1):
+        pref += caps[j]
+        ovf = ovf | (jnp.sum(c <= j) > pref)
+
     E_idx = graph.indices.shape[0] - 1
+    nbrs, valids, dsts = [], [], []
+    pos = 0
+    for i, (cap_i, w_i) in enumerate(zip(caps, widths)):
+        deg_i = jax.lax.slice_in_dim(deg_p, pos, pos + cap_i)
+        off_i = jax.lax.slice_in_dim(off_p, pos, pos + cap_i)
+        if i == 0:
+            # Floyd at full fanout (deg <= w rows degrade to take-all)
+            idx_i, valid_i = _floyd_without_replacement(key, deg_i, w_i)
+            flat = off_i[:, None] + jnp.maximum(idx_i, 0).astype(ptr_dtype)
+        else:
+            col = jax.lax.broadcasted_iota(jnp.int32, (cap_i, w_i), 1)
+            valid_i = col < jnp.minimum(deg_i, w_i)[:, None]
+            flat = off_i[:, None] + col.astype(ptr_dtype)
+        flat = jnp.clip(flat, 0, E_idx)
+        nbrs.append(take_1d_blocked(graph.indices, flat.reshape(-1)))
+        valids.append(valid_i.reshape(-1))
+        dsts.append(jnp.broadcast_to(
+            jax.lax.slice_in_dim(order, pos, pos + cap_i)[:, None],
+            (cap_i, w_i),
+        ).reshape(-1))
+        pos += cap_i
 
-    # tier A: Floyd at full fanout (deg <= f rows degrade to take-all)
-    idxA, validA = _floyd_without_replacement(key, deg_p[:VA], f)
-    flatA = jnp.clip(
-        off_p[:VA][:, None] + jnp.maximum(idxA, 0).astype(ptr_dtype),
-        0, E_idx,
-    )
-    nbrA = take_1d_blocked(graph.indices, flatA.reshape(-1))
-
-    # tier B: deg <= fB by construction — take every neighbor (no RNG)
-    colB = jax.lax.broadcasted_iota(jnp.int32, (VB, fB), 1)
-    validB = colB < jnp.minimum(deg_p[VA:], fB)[:, None]
-    flatB = jnp.clip(off_p[VA:][:, None] + colB.astype(ptr_dtype), 0, E_idx)
-    nbrB = take_1d_blocked(graph.indices, flatB.reshape(-1))
-
-    valid = jnp.concatenate([validA.reshape(-1), validB.reshape(-1)])
-    nbr = jnp.concatenate([nbrA, nbrB])
-    E = VA * f + VB * fB
+    valid = jnp.concatenate(valids)
+    nbr = jnp.concatenate(nbrs)
+    E = sum(cp * w for cp, w in tier_layout)
     slot = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0).squeeze(-1)
     src_local = jnp.where(valid, V + slot, -1)
-    dstA = jnp.broadcast_to(order[:VA, None], (VA, f)).reshape(-1)
-    dstB = jnp.broadcast_to(order[VA:, None], (VB, fB)).reshape(-1)
-    dst_local = jnp.where(valid, jnp.concatenate([dstA, dstB]), -1)
+    dst_local = jnp.where(valid, jnp.concatenate(dsts), -1)
     unique = jnp.concatenate([cur, jnp.where(valid, nbr, -1)])
     num_unique = num_cur + jnp.sum(valid).astype(jnp.int32)
     counts = None
@@ -648,7 +662,7 @@ def _tiered_last_hop(
         src_out_deg=counts,
         slots_per_dst=None,
         src_slice_offset=V,
-        tier_split=(VA, f, VB, fB),
+        tier_split=tuple(tier_layout),
         dst_invperm=inv,
     )
     return blk, unique, num_unique, ovf
@@ -704,15 +718,15 @@ def multi_layer_sample(
         if (
             last
             and not dedup_last_hop
-            and plan.tier_a_cap is not None
+            and plan.tier_layout is not None
             and sample_type in (SampleType.KHOP0, SampleType.KHOP2)
         ):
             # degree-tiered fast path (uniform-without-replacement only:
-            # take-all on the small tier is distribution-identical there,
-            # but NOT for with-replacement/weighted samplers)
+            # take-all on the narrow tiers is distribution-identical
+            # there, but NOT for with-replacement/weighted samplers)
             blk, unique, num_unique, t_ovf = _tiered_last_hop(
-                k, graph, cur, num_cur, fanout, plan.tier_a_cap,
-                plan.tier_b_fanout, with_out_degrees,
+                k, graph, cur, num_cur, plan.tier_layout,
+                with_out_degrees,
             )
             overflowed = overflowed | t_ovf
             blocks_rev.append(blk)
