@@ -146,9 +146,10 @@ def test_graph_properties_checker():
     assert p["self_loops"] == 1
     assert p["zero_degree_nodes"] == 1
     assert p["duplicate_edges"] == 1       # the second 0->1
-    # reverse membership: 0->1 has 1->0 (x2 for the dup), 1->0 has 0->1,
-    # 1->1 is its own reverse, 2->0 has no 0->2
-    assert p["reverse_edges"] == 4
+    # multiplicity-aware reverse pairing (advisor r4): the TWO 0->1
+    # copies can pair with only ONE 1->0 => min(2,1)=1, plus 1->0's
+    # pairing with 0->1 (1) and the self-loop (1); 2->0 has no 0->2
+    assert p["reverse_edges"] == 3
     assert not p["is_undirected"]
     assert p["indices_sorted"]
 
