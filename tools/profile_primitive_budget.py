@@ -1,5 +1,12 @@
 """Per-primitive budget of the fused step at HEAD shapes (VERDICT r4 #1).
 
+CAVEAT (round 5, probe_tiered_gap.py): this ladder scans a FIXED seed
+batch, so XLA hoists seed-invariant work out of the loop and dead-codes
+the unused backward pass — it under-measures the full step by ~7 ms at
+bench shapes. Use tools/profile_tiered_ladder.py (varying seeds, live
+state carry) for honest absolute numbers; this tool remains useful for
+RELATIVE comparisons between adjacent ladder levels.
+
 Builds a cumulative ladder of scanned programs A..I; adjacent differences
 isolate each primitive's steady-state cost:
 
