@@ -98,7 +98,8 @@ def run_row(row, ds, args):
         st = {"gcn": SampleType.KHOP2, "graphsage": SampleType.KHOP2,
               "pinsage": SampleType.RANDOM_WALK}[args.model]
         kw = dict(
-            model=args.model, fanout=tuple(args.fanout), batch_size=8000,
+            model=args.model, fanout=tuple(args.fanout),
+            batch_size=args.batch_size,
             num_hidden=256, sample_type=st, dropout=0.5,
             lr=0.003, profile_level=profile_level,
             # the stage pass must take the serial stepwise path — the
@@ -195,6 +196,7 @@ def main():
                    help="gcn [5,10,15] is the reference's actual Table 1 "
                         "workload (exp/table1/README.md:95-104)")
     p.add_argument("--fanout", nargs="+", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=8000)
     p.add_argument("--out-prefix", default="table1_papers100m",
                    help="artifact basename; smoke runs should redirect "
                         "(e.g. /tmp/t1smoke) so CPU rows never merge into "
@@ -234,6 +236,7 @@ def main():
                 "--cache-dir", args.cache_dir,
                 "--model", args.model,
                 "--fanout", *[str(f) for f in args.fanout],
+                "--batch-size", str(args.batch_size),
                 "--num-node", str(args.num_node),
                 "--num-epoch", str(args.num_epoch),
                 "--cache-percentage", str(args.cache_percentage),
@@ -274,7 +277,7 @@ def main():
         frac = (args.dev_train_frac if row in ("dev", "host")
                 else args.train_frac)
         params = {"num_node": args.num_node, "train_frac": frac,
-                  "model": args.model}
+                  "model": args.model, "batch_size": args.batch_size}
         if row == "cache":
             params["cache_percentage"] = args.cache_percentage
         old = dict(prior.get((ROW_LABEL[row], args.model), {}))
