@@ -101,9 +101,15 @@ def read_ogb_raw(name: str, ogb_root: str):
     """
     d = name.replace("-", "_")
     base = os.path.join(ogb_root, d)
-    if not os.path.isdir(base):
-        base = os.path.join(ogb_root, name)  # both layouts seen in the wild
+    for cand in (name, name.split("-", 1)[-1] + "-bin", name.split("-", 1)[-1]):
+        if not os.path.isdir(base):  # all layouts seen in the wild
+            base = os.path.join(ogb_root, cand)
     raw = os.path.join(base, "raw")
+    if os.path.exists(os.path.join(raw, "data.npz")):
+        # papers100M ships npz, not csv.gz (datagen/papers100M.py:49-65)
+        from .download import read_ogb_npz
+
+        return read_ogb_npz(base)
 
     def csv(path, dtype):
         return np.loadtxt(path, delimiter=",", dtype=dtype, ndmin=2)
@@ -212,7 +218,8 @@ def main():
 
     p = argparse.ArgumentParser("fgnn_tpu datagen")
     p.add_argument("command", choices=["ogb", "synthetic", "rankings",
-                                       "to64"])
+                                       "to64", "download",
+                                       "convert-webgraph"])
     p.add_argument("--name", default="ogbn-products")
     p.add_argument("--ogb-root", default="/graph-learning/data-raw")
     p.add_argument("--out-root", default=constants.DEFAULT_DATASET_ROOT)
@@ -220,6 +227,20 @@ def main():
     args = p.parse_args()
     if args.command == "ogb":
         print(convert_ogb(args.name, args.ogb_root, args.out_root))
+    elif args.command == "download":
+        from .download import REGISTRY, convert_webgraph, download
+
+        base = download(args.name, args.ogb_root)
+        if REGISTRY[args.name]["kind"] == "ogb-zip":
+            print(convert_ogb(args.name, args.ogb_root, args.out_root))
+        elif os.path.exists(os.path.join(base, "coo.bin")):
+            print(convert_webgraph(args.name, args.ogb_root, args.out_root))
+        else:
+            print(base)  # BV decode pending (see download.py docstring)
+    elif args.command == "convert-webgraph":
+        from .download import convert_webgraph
+
+        print(convert_webgraph(args.name, args.ogb_root, args.out_root))
     elif args.command == "synthetic":
         from .synthetic import make_synthetic_dataset
 
